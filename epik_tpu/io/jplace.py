@@ -1,0 +1,147 @@
+"""Streaming jplace v3 writer, byte-compatible with the reference output.
+
+Re-implements the reference's rapidjson-based streaming writer
+(reference: epik/src/epik/jplace.cpp):
+
+* header: ``metadata.invocation`` (exact command line, jplace.cpp:71-78),
+  ``tree`` (jplace-annotated newick), ``version: 3``, ``fields`` in the fixed
+  order ``[edge_num, likelihood, like_weight_ratio, distal_length,
+  pendant_length]`` (jplace.cpp:92-102);
+* per-batch appends of placement objects (jplace.cpp:21-38; the file is
+  reopened in append mode per batch -- we keep a handle and flush instead,
+  which enables the same restart-from-batch-N property, SURVEY.md section 5.3);
+* rapidjson PrettyWriter formatting: 4-space indent, single-line inner arrays
+  (jplace.cpp:44,127-135), ``"nm"`` entries ``[header, 1]`` per duplicate
+  read (jplace.cpp:142-158, quirk Q8);
+* rapidjson double formatting (Grisu2 shortest + rapidjson's
+  fixed/exponential cutover) so likelihood values serialize byte-identically.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+from ..engine.types import PlacedCollection
+
+__all__ = ["format_double", "jplace_writer", "FIELDS"]
+
+FIELDS = ["edge_num", "likelihood", "like_weight_ratio", "distal_length", "pendant_length"]
+
+_REPR_RE = re.compile(r"^(-?)(\d+)(?:\.(\d+))?(?:e([+-]\d+))?$")
+
+
+def format_double(x: float) -> str:
+    """Format a double the way rapidjson's Writer::Double does.
+
+    Grisu2 produces the shortest round-trip digits (Python ``repr`` does
+    too); rapidjson's Prettify then chooses fixed notation when the decimal
+    exponent kk is in (-6, 21], else exponential with an unpadded exponent
+    (no ``+``, no leading zeros) -- unlike Python's ``repr`` which switches at
+    different thresholds and pads exponents to two digits.
+    """
+    if math.isnan(x) or math.isinf(x):
+        # rapidjson with default flags refuses NaN/Inf (Writer::Double returns
+        # false and emits nothing, producing a malformed row).  We emit the
+        # conventional JSON-extension tokens instead -- a conscious divergence.
+        if math.isnan(x):
+            return "NaN"
+        return "-Infinity" if x < 0 else "Infinity"
+    r = repr(float(x))
+    m = _REPR_RE.match(r)
+    if not m:  # pragma: no cover - repr always matches
+        return r
+    sign, int_part, frac_part, exp_part = m.groups()
+    frac_part = frac_part or ""
+    digits = (int_part + frac_part).lstrip("0") or "0"
+    if digits == "0":
+        return sign + "0.0"
+    # kk: position of the decimal point relative to the first significant
+    # digit: value = 0.<digits> * 10**kk
+    n_lead = len(int_part + frac_part) - len((int_part + frac_part).lstrip("0"))
+    kk = len(int_part) - n_lead + (int(exp_part) if exp_part else 0)
+    digits = digits.rstrip("0") or "0"
+    ln = len(digits)
+    if 0 < kk <= 21:
+        if ln <= kk:  # 1234000.0
+            return sign + digits + "0" * (kk - ln) + ".0"
+        return sign + digits[:kk] + "." + digits[kk:]
+    if -6 < kk <= 0:  # 0.0001234
+        return sign + "0." + "0" * (-kk) + digits
+    # exponential: d.ddd e (kk-1)
+    e = kk - 1
+    mant = digits[0] + ("." + digits[1:] if ln > 1 else "")
+    return f"{sign}{mant}e{e}"
+
+
+class jplace_writer:
+    """Streaming writer with the reference's start / << / end protocol
+    (reference: main.cpp:302-303,361,366)."""
+
+    def __init__(self, filename: str, invocation: str, newick_tree: str):
+        self._filename = filename
+        self._invocation = invocation
+        self._tree = newick_tree
+        self._out = open(filename, "w", encoding="utf-8")
+        self._first_placement = True
+
+    def start(self) -> None:
+        """Write the header and open the placements array
+        (reference: jplace.cpp:40-59)."""
+        w = self._out
+        w.write("{\n")
+        w.write('    "metadata": {\n')
+        w.write(f'        "invocation": {json.dumps(self._invocation)}\n')
+        w.write("    },\n")
+        w.write(f'    "tree": {json.dumps(self._tree)},\n')
+        w.write('    "version": 3,\n')
+        fields = ", ".join(json.dumps(f) for f in FIELDS)
+        w.write(f'    "fields": [{fields}],\n')
+        w.write('    "placements": [')
+        w.flush()
+
+    def write(self, placed: PlacedCollection) -> None:
+        """Append one batch (reference: jplace.cpp:21-38)."""
+        w = self._out
+        for placed_seq in placed.placed_seqs:
+            if not self._first_placement:
+                w.write(",")
+            self._first_placement = False
+            w.write("\n        {\n")
+            # "p" rows (jplace.cpp:121-140): single-line inner arrays
+            w.write('            "p": [')
+            for i, p in enumerate(placed_seq.placements):
+                if i:
+                    w.write(",")
+                row = ", ".join(
+                    [
+                        str(int(p.branch_id)),
+                        format_double(p.score),
+                        format_double(p.weight_ratio),
+                        format_double(p.distal_length),
+                        format_double(p.pendant_length),
+                    ]
+                )
+                w.write(f"\n                [{row}]")
+            w.write("\n            ],\n" if placed_seq.placements else "],\n")
+            # "nm" rows (jplace.cpp:142-158): [header, 1] per duplicate header
+            headers = placed.sequence_map[placed_seq.sequence]
+            w.write('            "nm": [')
+            for i, h in enumerate(headers):
+                if i:
+                    w.write(",")
+                w.write(f"\n                [{json.dumps(h)}, 1]")
+            w.write("\n            ]\n" if headers else "]\n")
+            w.write("        }")
+        w.flush()
+
+    # operator<< sugar
+    def __lshift__(self, placed: PlacedCollection) -> "jplace_writer":
+        self.write(placed)
+        return self
+
+    def end(self) -> None:
+        """Close arrays and the file (reference: jplace.cpp:61-69)."""
+        self._out.write("\n    ]\n}")
+        self._out.close()
