@@ -1,0 +1,368 @@
+"""TPU-native placement engine: the jit-compiled lookup/score/top-k pipeline.
+
+This replaces the reference's hot loop -- the per-read OpenMP ``place_seq``
+with its hash-map probes and scalar scatter-adds (reference:
+epik/src/epik/place.cpp:201-275,320-440) -- with one static-shaped XLA
+program over a whole batch:
+
+    host: dedup + tokenize           (core/kmers.py; quirk Q8)
+    device:
+      1. cuckoo lookup of all window keys        (ops/hashtable.py)
+      2. ragged expansion of posting lists       (ops/expand.py)
+      3. dense segment scatter-add of (read, branch) scores and counts
+         -- the TPU analog of intrinsic.h's SIMD update_vector
+      4. ambiguous first-hit selection via scatter-min over processing
+         order (quirks Q6/Q7 in closed form: only the first expanded key
+         touching a branch contributes (10**s + (k-1)*eps)/k)
+      5. score correction, LWR logsumexp over all branches (quirk Q4),
+         top-k selection
+    host: fallback fabrication (quirk Q2/Q3), keep-factor filter,
+          distal/pendant gather, jplace row assembly
+
+Numerics: scores accumulate in float32 like the reference; the LWR sum
+uses a log-sum-exp (exact in the regime where the reference's double
+``pow(10, s)`` underflows -- differences are far below the 1e-4
+probability-space parity tolerance, scripts/jplace_diff.py:21,222).
+The reference's double-pow underflow-to-zero behavior (quirk Q3) is
+reproduced via an explicit exponent cutoff at -323.6 (the point where
+``pow(10, x)`` rounds to 0.0 in IEEE double).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.alphabet import get_alphabet
+from ..core.kmers import tokenize_batch
+from ..core.scoring import score_threshold
+from ..core.tree import PhyloTree
+from ..io.db import PhyloKmerDB
+from ..ops.expand import ragged_expand
+from ..ops.hashtable import build_table, lookup
+from .types import PlacedCollection, PlacedSequence, Placement
+
+__all__ = ["JaxPlacer", "PlacerConfig"]
+
+_U64 = 1 << 64
+#: exponent below which IEEE-double 10**x rounds to exactly 0.0
+#: (reference computes pow in double: place.h:29, place.cpp:39-48)
+_POW10_ZERO = -323.6
+_SENTINEL_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@dataclasses.dataclass
+class PlacerConfig:
+    keep_at_most: int = 7  # reference default: main.cpp:219
+    keep_factor: float = 0.01  # reference default: main.cpp:220
+    #: posting-budget headroom over the average posting length estimate
+    budget_headroom: float = 2.0
+    #: minimum padded stream size (keeps zero-size arrays out of XLA)
+    min_bucket: int = 16
+
+
+def _bucket(n: int, lo: int) -> int:
+    """Round up to a power of two (bounded jit-cache growth)."""
+    return 1 << max(lo.bit_length() - 1, (max(n, 1) - 1).bit_length())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("R", "B", "K", "P", "PA", "k", "seed1", "seed2"),
+)
+def _place_batch_device(
+    table,
+    db_branches,
+    db_scores,
+    e_hi,
+    e_lo,
+    e_read,
+    a_hi,
+    a_lo,
+    a_read,
+    a_order,
+    m_f32,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    P: int,
+    PA: int,
+    k: int,
+    seed1: int,
+    seed2: int,
+    log_eps,
+    eps,
+):
+    """One fused batch placement step (single device)."""
+    f32 = jnp.float32
+    log_eps = f32(log_eps)
+    eps = f32(eps)
+
+    # ---- 1. exact path: lookup -> expand -> scatter-add ----------------------
+    _, e_off, e_len = lookup(table, seed1, seed2, e_hi, e_lo)
+    win, elem, e_total = ragged_expand(e_len.astype(jnp.int32), P)
+    valid = win >= 0
+    sw = jnp.maximum(win, 0)
+    p_idx = e_off[sw].astype(jnp.int32) + elem
+    pb = db_branches[p_idx]
+    ps = db_scores[p_idx]
+    pr = jnp.where(valid, e_read[sw], jnp.int32(R))  # row R = trash row
+
+    S = jnp.zeros((R + 1, B), f32).at[pr, pb].add(jnp.where(valid, ps, 0.0))
+    C = jnp.zeros((R + 1, B), jnp.int32).at[pr, pb].add(valid.astype(jnp.int32))
+
+    # ---- 2. ambiguous path: first-hit per (read, branch) (quirks Q6/Q7) -----
+    _, a_off, a_len = lookup(table, seed1, seed2, a_hi, a_lo)
+    awin, aelem, a_total = ragged_expand(a_len.astype(jnp.int32), PA)
+    avalid = awin >= 0
+    asw = jnp.maximum(awin, 0)
+    ap_idx = a_off[asw].astype(jnp.int32) + aelem
+    ab = db_branches[ap_idx]
+    as_ = db_scores[ap_idx]
+    ar = jnp.where(avalid, a_read[asw], jnp.int32(R))
+    aord = jnp.where(avalid, a_order[asw], jnp.int32(2**31 - 1))
+
+    first = (
+        jnp.full((R + 1, B), 2**31 - 1, jnp.int32).at[ar, ab].min(aord)
+    )
+    sel = avalid & (aord == first[ar, ab])
+    # contribution of the first expanded key hitting (read, branch):
+    # (10**score + (k-1)*eps) / k, probability units (quirk Q6)
+    pow10 = jnp.exp(as_ * f32(math.log(10.0)))
+    contrib = (pow10 + f32(k - 1) * eps) / f32(k)
+    S = S.at[ar, ab].add(jnp.where(sel, contrib, 0.0))
+    C = C.at[ar, ab].add(sel.astype(jnp.int32))
+
+    S, C = S[:R], C[:R]
+    touched = C > 0
+
+    # ---- 3. score correction (place.cpp:417-422) -----------------------------
+    diff = m_f32[:, None] - C.astype(f32)
+    # size_t wraparound emulation: C > m only happens via ambiguity fan-out;
+    # float32(2**64 - small) == float32(2**64) (quirk Q1 family)
+    diff = jnp.where(diff < 0, f32(_U64), diff)
+    corrected = (S + diff * log_eps) / f32(k)
+    neg_inf = f32(-jnp.inf)
+    corrected = jnp.where(touched, corrected, neg_inf)
+
+    # ---- 4. LWR normalization over ALL branches (quirk Q4) -------------------
+    n = jnp.sum(touched, axis=1).astype(jnp.int32)
+    npl_exp = m_f32 * log_eps / f32(k)  # f32, matching sum_scores (place.cpp:175)
+    n_not = f32(B) - n.astype(f32)
+    max_c = jnp.max(corrected, axis=1)
+    max_t = jnp.maximum(max_c, jnp.where(n_not > 0, npl_exp, neg_inf))
+    ln10 = f32(math.log(10.0))
+    terms = jnp.where(touched, jnp.exp((corrected - max_t[:, None]) * ln10), 0.0)
+    sum10 = jnp.sum(terms, axis=1) + n_not * jnp.exp(
+        jnp.where(n_not > 0, (npl_exp - max_t) * ln10, neg_inf)
+    )
+    log_sum = max_t + jnp.log(sum10) / ln10
+    # quirk Q3: the reference's double pow underflows to exact 0
+    zero_sum = (max_c < f32(_POW10_ZERO)) & (
+        (npl_exp < f32(_POW10_ZERO)) | (n_not <= 0)
+    )
+
+    # ---- 5. top-k ------------------------------------------------------------
+    topk_scores, topk_idx = jax.lax.top_k(corrected, K)
+    topk_counts = jnp.take_along_axis(C, topk_idx, axis=1)
+    wr = jnp.exp((topk_scores - log_sum[:, None]) * ln10)
+    wr = jnp.where(zero_sum[:, None] | (topk_scores < f32(_POW10_ZERO)), 0.0, wr)
+    return (
+        topk_scores,
+        topk_idx.astype(jnp.int32),
+        topk_counts,
+        wr,
+        n,
+        zero_sum,
+        e_total,
+        a_total,
+    )
+
+
+class JaxPlacer:
+    """Single-device TPU placer with the reference's ``place(batch)`` surface
+    (reference: epik/src/epik/main.cpp:295,344)."""
+
+    def __init__(
+        self,
+        db: PhyloKmerDB,
+        tree: PhyloTree,
+        keep_at_most: int = 7,
+        keep_factor: float = 0.01,
+        config: PlacerConfig | None = None,
+    ):
+        self.db = db
+        self.tree = tree
+        self.config = config or PlacerConfig(keep_at_most=keep_at_most, keep_factor=keep_factor)
+        self.config.keep_at_most = keep_at_most
+        self.config.keep_factor = keep_factor
+        self.alphabet = get_alphabet(db.sequence_type)
+        self.k = db.kmer_size
+        self.B = tree.get_node_count()
+
+        # quirk Q10: threshold from db.omega() after load
+        self.eps = np.float32(score_threshold(db.omega, self.k, self.alphabet.sigma))
+        self.log_eps = np.float32(np.log10(self.eps))
+
+        # pendant/distal precompute (reference: place.cpp:98-125)
+        num, tot = tree.tree_index()
+        self.distal = tree.branch_lengths / 2.0
+        mean = np.where(num > 1, tot / np.maximum(num, 1), 0.0)
+        self.pendant = mean + self.distal
+
+        # device-resident DB
+        lens = np.diff(db.row_off)
+        self.table = build_table(db.keys, db.row_off[:-1], lens)
+        self._dev_table = self.table.device_arrays()
+        self._dev_branches = jnp.asarray(db.branches.astype(np.int32))
+        self._dev_scores = jnp.asarray(db.scores)
+        self._avg_plen = float(lens.mean()) if lens.size else 1.0
+        self._max_plen = int(lens.max()) if lens.size else 0
+
+    # -- host-side batch staging ----------------------------------------------
+
+    @staticmethod
+    def _pad_u64_split(keys: np.ndarray, size: int):
+        padded = np.full(size, _SENTINEL_KEY, dtype=np.uint64)
+        padded[: keys.shape[0]] = keys
+        hi = (padded >> np.uint64(32)).astype(np.uint32)
+        lo = (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return hi, lo
+
+    @staticmethod
+    def _pad_i32(arr: np.ndarray, size: int, fill: int):
+        padded = np.full(size, fill, dtype=np.int32)
+        padded[: arr.shape[0]] = arr
+        return padded
+
+    def place(self, records: list[tuple[str, bytes]]) -> PlacedCollection:
+        cfg = self.config
+        # dedup by content (quirk Q8; reference: place.cpp:73-81,207)
+        sequence_map: dict[bytes, list[str]] = {}
+        for header, seq in records:
+            sequence_map.setdefault(seq, []).append(header)
+        seqs = list(sequence_map.keys())
+        R = len(seqs)
+        if R == 0:
+            return PlacedCollection(sequence_map={}, placed_seqs=[])
+
+        tokens = tokenize_batch(seqs, self.k, self.alphabet)
+        # the correction term uses the size_t-wrapped window count (quirk Q1);
+        # float32(2**64 - small) == float32(2**64), so the wrap collapses
+        m_signed = tokens.seq_lengths - self.k + 1  # int64, may be negative
+        m_f32 = np.where(
+            m_signed >= 0,
+            m_signed.astype(np.float32),
+            np.float32(float(_U64)) + m_signed.astype(np.float32),
+        ).astype(np.float32)
+
+        E = _bucket(tokens.exact_keys.shape[0], cfg.min_bucket)
+        A = _bucket(tokens.amb_keys.shape[0], cfg.min_bucket)
+        e_hi, e_lo = self._pad_u64_split(tokens.exact_keys, E)
+        a_hi, a_lo = self._pad_u64_split(tokens.amb_keys, A)
+        e_read = self._pad_i32(tokens.exact_read, E, R)
+        a_read = self._pad_i32(tokens.amb_read, A, R)
+        a_order = self._pad_i32(tokens.amb_order, A, 2**31 - 1)
+
+        est = max(1, int(self._avg_plen * cfg.budget_headroom))
+        P = _bucket(tokens.exact_keys.shape[0] * est, cfg.min_bucket)
+        PA = _bucket(tokens.amb_keys.shape[0] * est, cfg.min_bucket)
+        # lax.top_k needs K <= B; tiny trees report at most B branches anyway
+        K = min(cfg.keep_at_most, self.B)
+
+        while True:
+            out = _place_batch_device(
+                self._dev_table,
+                self._dev_branches,
+                self._dev_scores,
+                e_hi,
+                e_lo,
+                jnp.asarray(e_read),
+                a_hi,
+                a_lo,
+                jnp.asarray(a_read),
+                jnp.asarray(a_order),
+                jnp.asarray(m_f32),
+                R=R,
+                B=self.B,
+                K=K,
+                P=P,
+                PA=PA,
+                k=self.k,
+                seed1=self.table.seed1,
+                seed2=self.table.seed2,
+                log_eps=float(self.log_eps),
+                eps=float(self.eps),
+            )
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_total, a_total) = [
+                np.asarray(x) for x in out
+            ]
+            if e_total <= P and a_total <= PA:
+                break
+            # budget overflow: grow the static budget bucket and re-run
+            P = _bucket(int(e_total), cfg.min_bucket) if e_total > P else P
+            PA = _bucket(int(a_total), cfg.min_bucket) if a_total > PA else PA
+
+        return self._assemble(
+            seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K
+        )
+
+    # -- host-side row assembly ------------------------------------------------
+
+    def _assemble(
+        self, seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K
+    ) -> PlacedCollection:
+        cfg = self.config
+        placed_seqs = []
+        for i, seq in enumerate(seqs):
+            n = int(n_touched[i])
+            keep_factor = cfg.keep_factor
+            if n == 0:
+                placements, sum_is_zero = self._fallback(int(m_signed[i]) % _U64)
+                if sum_is_zero:
+                    keep_factor = 0.0
+            else:
+                placements = []
+                for j in range(min(n, K)):
+                    e = int(idx_k[i, j])
+                    placements.append(
+                        Placement(
+                            branch_id=e,
+                            score=float(scores_k[i, j]),
+                            weight_ratio=float(wr_k[i, j]),
+                            count=int(counts_k[i, j]),
+                            distal_length=float(self.distal[e]),
+                            pendant_length=float(self.pendant[e]),
+                        )
+                    )
+                if zero_sum[i]:
+                    keep_factor = 0.0
+            best = placements[0].weight_ratio if placements else 0.0
+            ratio_threshold = best * keep_factor
+            placements = [p for p in placements if p.weight_ratio >= ratio_threshold]
+            placed_seqs.append(PlacedSequence(sequence=seq, placements=placements))
+        return PlacedCollection(sequence_map=sequence_map, placed_seqs=placed_seqs)
+
+    def _fallback(self, m_wrapped: int) -> tuple[list[Placement], bool]:
+        """No-match fabrication (quirk Q2) with faithful host double math
+        (reference: place.cpp:141-152,164-184); Python float pow IS the
+        reference's double pow, underflow-to-zero included (quirk Q3)."""
+        k = self.k
+        ts = float(
+            np.float32(self.log_eps * np.float32(float(m_wrapped)) / np.float32(k))
+        )
+        # sum_scores with zero placements: N * pow(10, f32 exponent)
+        exponent = float(np.float32(np.float32(float(m_wrapped)) * self.log_eps / np.float32(k)))
+        score_sum = float(self.B) * 10.0**exponent
+        out = []
+        for i in range(self.config.keep_at_most):
+            power = 10.0**ts
+            wr = 0.0 if (score_sum == 0.0 or power == 0.0) else power / score_sum
+            out.append(Placement(i, ts, wr, 0, 0.0, 0.0))
+        return out, score_sum == 0.0

@@ -1,0 +1,166 @@
+"""Differential tests: JAX device engine vs the faithful scalar oracle.
+
+The two-implementation differential pattern of the reference's test strategy
+(reference: scripts/ppdiff.py:235-255; SURVEY.md section 4).  Match criterion
+mirrors jplace parity: same edges, |10**ll1 - 10**ll2| <= 1e-4
+(reference: scripts/jplace_diff.py:21,222), plus count equality (counts are
+integers and must agree exactly).
+"""
+
+import numpy as np
+import pytest
+
+from epik_tpu.core.tree import parse_newick
+from epik_tpu.engine.placer import JaxPlacer
+from epik_tpu.engine.reference import ReferencePlacer
+from epik_tpu.io.build import build_db, random_db, random_reads
+
+EPSILON = 1e-4
+TREE = "((A:0.1,B:0.2):0.3,C:0.4):0.0;"
+
+
+def assert_equivalent(out_ref, out_jax, check_wr=True):
+    assert set(out_ref.sequence_map) == set(out_jax.sequence_map)
+    ref_by_seq = {p.sequence: p for p in out_ref.placed_seqs}
+    jax_by_seq = {p.sequence: p for p in out_jax.placed_seqs}
+    assert set(ref_by_seq) == set(jax_by_seq)
+    for seq, rp in ref_by_seq.items():
+        jp = jax_by_seq[seq]
+        r_edges = {p.branch_id: p for p in rp.placements}
+        j_edges = {p.branch_id: p for p in jp.placements}
+        assert set(r_edges) == set(j_edges), (
+            f"edge sets differ for {seq!r}: ref={sorted(r_edges)} jax={sorted(j_edges)}"
+        )
+        for e, p_ref in r_edges.items():
+            p_jax = j_edges[e]
+            assert abs(10.0**p_ref.score - 10.0**p_jax.score) <= EPSILON, (
+                f"{seq!r} edge {e}: ll {p_ref.score} vs {p_jax.score}"
+            )
+            assert p_ref.count == p_jax.count, f"{seq!r} edge {e} count"
+            if check_wr:
+                assert p_ref.weight_ratio == pytest.approx(
+                    p_jax.weight_ratio, rel=1e-3, abs=1e-6
+                ), f"{seq!r} edge {e} wr"
+            assert p_ref.distal_length == pytest.approx(p_jax.distal_length)
+            assert p_ref.pendant_length == pytest.approx(p_jax.pendant_length)
+
+
+def both_engines(db, **kw):
+    tree = parse_newick(db.tree())
+    return ReferencePlacer(db, tree, **kw), JaxPlacer(db, tree, **kw)
+
+
+class TestToyDifferential:
+    @pytest.fixture
+    def db(self):
+        return build_db(
+            {"ACG": [(0, -1.0), (2, -2.0)], "CGT": [(1, -0.5)]},
+            TREE,
+            kmer_size=3,
+        )
+
+    def test_exact(self, db):
+        ref, jax_p = both_engines(db)
+        recs = [("r1", b"ACGT"), ("r2", b"TACGT"), ("r3", b"CGTACG")]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_ambiguous(self, db):
+        ref, jax_p = both_engines(db)
+        recs = [("a", b"ACRT"), ("b", b"NCGT"), ("c", b"ANGT"), ("d", b"RYSWKM")]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_fallback_and_short(self, db):
+        ref, jax_p = both_engines(db)
+        recs = [("nohit", b"TTTT"), ("lenk1", b"AC"), ("tiny", b"A"), ("empty", b"")]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_dedup(self, db):
+        ref, jax_p = both_engines(db)
+        recs = [("x", b"ACGT"), ("y", b"ACGT"), ("z", b"ACGT")]
+        out_r, out_j = ref.place(recs), jax_p.place(recs)
+        assert out_j.sequence_map[b"ACGT"] == ["x", "y", "z"]
+        assert_equivalent(out_r, out_j)
+
+    def test_keep_at_most(self, db):
+        ref, jax_p = both_engines(db, keep_at_most=2)
+        recs = [("r", b"ACGT")]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_keep_factor(self, db):
+        ref, jax_p = both_engines(db, keep_factor=0.5)
+        recs = [("r", b"ACGT")]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+
+class TestRandomDifferential:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_reads(self, seed):
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=seed)
+        ref, jax_p = both_engines(db)
+        # reads assembled from DB k-mers so most windows hit
+        rng = np.random.default_rng(seed + 100)
+        from epik_tpu.core.alphabet import DNA
+
+        recs = []
+        for i in range(40):
+            parts = [
+                DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                for _ in range(rng.integers(1, 8))
+            ]
+            recs.append((f"q{i}", "".join(parts).encode()))
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_random_with_ambiguity(self):
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=9)
+        ref, jax_p = both_engines(db)
+        reads = random_reads(30, length=40, seed=5, ambig_rate=0.05)
+        assert_equivalent(ref.place(reads), jax_p.place(reads))
+
+    def test_pure_random_reads(self):
+        # mostly misses: exercises correction with small C and the fallback
+        db = random_db(num_leaves=16, kmer_size=8, num_kmers=512, seed=3)
+        ref, jax_p = both_engines(db)
+        reads = random_reads(30, length=60, seed=6)
+        assert_equivalent(ref.place(reads), jax_p.place(reads))
+
+    def test_amino(self):
+        db = random_db(
+            num_leaves=16, kmer_size=4, num_kmers=2000, seed=4, sequence_type="amino"
+        )
+        ref, jax_p = both_engines(db)
+        from epik_tpu.core.alphabet import AMINO
+
+        rng = np.random.default_rng(11)
+        recs = []
+        for i in range(25):
+            parts = [
+                AMINO.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 4)
+                for _ in range(rng.integers(1, 6))
+            ]
+            recs.append((f"p{i}", "".join(parts).encode()))
+        recs.append(("amb", b"ABCDEFX"))  # amino ambiguity codes
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_budget_overflow_retry(self):
+        # tiny initial budget forces the grow-and-retry path
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, mean_posting_len=20.0, seed=8)
+        from epik_tpu.engine.placer import PlacerConfig
+
+        tree = parse_newick(db.tree())
+        cfg = PlacerConfig(budget_headroom=0.01)
+        jax_p = JaxPlacer(db, tree, config=cfg)
+        ref = ReferencePlacer(db, tree)
+        from epik_tpu.core.alphabet import DNA
+
+        rng = np.random.default_rng(13)
+        recs = [
+            (
+                f"q{i}",
+                "".join(
+                    DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                    for _ in range(6)
+                ).encode(),
+            )
+            for i in range(10)
+        ]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
