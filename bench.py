@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark: reads placed per second per chip (the reference's own meter).
+
+Mirrors the reference's throughput measurement -- wall-clock seq/s per batch
+plus run average (reference: epik/src/epik/main.cpp:347-358,368) -- on a
+D652-scale synthetic workload (652-leaf tree, ~1300 branches, k=10, 500k
+phylo-k-mers, 150bp reads).  The reference repo publishes no benchmark
+numbers (SURVEY.md section 6; BASELINE.json "published": {}), so the
+baseline is self-measured: the faithful scalar oracle engine on this host,
+scaled per the entry in BASELINE.md.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import numpy as np
+
+    t0 = time.time()
+    from epik_tpu.core.alphabet import DNA
+    from epik_tpu.core.tree import parse_newick
+    from epik_tpu.engine.placer import JaxPlacer
+    from epik_tpu.engine.reference import ReferencePlacer
+    from epik_tpu.io.build import random_db
+
+    import jax
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    # --- D652-scale synthetic fixture ----------------------------------------
+    NUM_LEAVES = 652
+    K = 10
+    NUM_KMERS = 500_000
+    MEAN_PLEN = 12.0
+    NUM_READS = 20_000
+    READ_LEN = 150
+    BATCH = 2000
+
+    log("building synthetic database ...")
+    db = random_db(
+        num_leaves=NUM_LEAVES, kmer_size=K, num_kmers=NUM_KMERS,
+        mean_posting_len=MEAN_PLEN, seed=652, unique_branches=False,
+    )
+    tree = parse_newick(db.tree())
+    log(f"db: {db.num_kmers} k-mers, {db.num_entries} postings, "
+        f"{tree.get_node_count()} branches ({time.time()-t0:.1f}s)")
+
+    rng = np.random.default_rng(7)
+    n_parts = READ_LEN // K
+    reads = []
+    key_idx = rng.integers(0, db.num_kmers, size=(NUM_READS, n_parts))
+    for i in range(NUM_READS):
+        s = "".join(DNA.decode_key(int(db.keys[j]), K) for j in key_idx[i])
+        reads.append((f"q{i}", s.encode()))
+    log(f"reads ready ({time.time()-t0:.1f}s)")
+
+    placer = JaxPlacer(db, tree)
+    log(f"cuckoo table: {placer.table.num_buckets} buckets ({time.time()-t0:.1f}s)")
+
+    # --- warmup (compile) -----------------------------------------------------
+    t_w = time.time()
+    placer.place(reads[:BATCH])
+    log(f"warmup batch (compile) took {time.time()-t_w:.1f}s")
+
+    # --- timed run ------------------------------------------------------------
+    t_run = time.time()
+    placed = 0
+    for start in range(0, NUM_READS, BATCH):
+        batch = reads[start : start + BATCH]
+        placer.place(batch)
+        placed += len(batch)
+    elapsed = time.time() - t_run
+    rps = placed / elapsed
+    log(f"placed {placed} reads in {elapsed:.2f}s -> {rps:.0f} reads/s/chip")
+
+    # --- baseline: faithful scalar oracle on this host ------------------------
+    base_n = 400
+    t_b = time.time()
+    ReferencePlacer(db, tree).place(reads[:base_n])
+    base_rps = base_n / (time.time() - t_b)
+    log(f"scalar-oracle baseline: {base_rps:.0f} reads/s (on {base_n} reads)")
+
+    print(json.dumps({
+        "metric": "reads_placed_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / base_rps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

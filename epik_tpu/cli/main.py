@@ -1,0 +1,221 @@
+"""EPIK-TPU command-line interface.
+
+One CLI replaces both reference layers: the Python click wrapper
+(reference: epik.py:29-70, flag surface -i/-s/--omega/--mu/-o/--threads/
+--max-ram) and the C++ driver binary (reference: epik/src/epik/main.cpp:
+205-391, flags -d/-q/-j/--batch-size/--keep-at-most/--keep-factor and the
+full load -> place -> jplace orchestration).  There is no compile-time
+DNA/amino fork -- the database self-describes its alphabet, and ``-s`` is
+validated against it (the reference instead picks epik-dna vs epik-aa,
+epik.py:78-83).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import click
+
+from .. import __version__
+from ..core.tree import parse_newick, to_newick
+from ..io.db import PKDB_VALUE_SIZE, load
+from ..io.fasta import batch_fasta
+from ..io.jplace import jplace_writer
+from ..utils.progress import (
+    ProgressBar,
+    humanize_time,
+    parse_human_readable,
+    to_human_readable,
+)
+
+__all__ = ["epik", "place_queries"]
+
+
+@click.group()
+@click.version_option(__version__)
+def epik():
+    """EPIK-TPU: Evolutionary Placement with Informative K-mers, TPU-native."""
+
+
+@epik.command()
+@click.option("-i", "--database", required=True,
+              type=click.Path(dir_okay=False, file_okay=True, exists=True),
+              help="Input database.")
+@click.option("-s", "--states", type=click.Choice(["nucl", "amino"]), default="nucl",
+              show_default=True, help="States used in analysis.")
+@click.option("--omega", type=float, default=1.5,
+              help="User omega value, determines the score threshold.")
+@click.option("--mu", type=float, default=1.0,
+              help="The proportion of the database to keep.")
+@click.option("-o", "--outputdir", required=True,
+              type=click.Path(dir_okay=True, file_okay=False, exists=True),
+              help="Output directory.")
+@click.option("--threads", type=int, default=1, show_default=True,
+              help="Host worker threads for tokenization (device count is "
+                   "controlled by jax).")
+@click.option("--max-ram", type=str, default="", show_default=True,
+              help="Approximate RAM limit to use. Database may not be fully loaded")
+@click.option("--batch-size", type=int, default=2000, show_default=True,
+              help="Batch size (reads per device step).")
+@click.option("--keep-at-most", type=int, default=7, show_default=True,
+              help="Number of branches to report.")
+@click.option("--keep-factor", type=float, default=0.01, show_default=True,
+              help="Minimum LWR to report.")
+@click.option("--engine", type=click.Choice(["jax", "reference"]), default="jax",
+              show_default=True,
+              help="Placement engine: TPU/XLA pipeline or the scalar oracle.")
+@click.option("--platform", type=str, default=None,
+              help="Force a jax platform (e.g. cpu, tpu). Default: jax's choice.")
+@click.argument("input_file", type=click.Path(exists=True))
+def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
+          keep_at_most, keep_factor, engine, platform, input_file):
+    """Places .fasta files using the input phylo-k-mer database.
+
+    epik place -s [nucl|amino] -i DB.eptk -o output file.fasta
+    """
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    rc = place_queries(
+        database, states, omega, mu, outputdir, threads, max_ram, input_file,
+        batch_size=batch_size, keep_at_most=keep_at_most, keep_factor=keep_factor,
+        engine=engine,
+    )
+    if rc:
+        raise SystemExit(rc)
+
+
+def make_invocation(argv: list[str]) -> str:
+    """argv joined with a trailing space (reference: main.cpp:23-32)."""
+    return "".join(a + " " for a in argv)
+
+
+def make_output_filename(input_file: str, output_dir: str) -> str:
+    """placements_<input filename>.jplace (reference: main.cpp:34-37)."""
+    return os.path.join(output_dir, "placements_" + os.path.basename(input_file) + ".jplace")
+
+
+def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
+                  input_file, batch_size=2000, keep_at_most=7, keep_factor=0.01,
+                  engine="jax", invocation=None) -> int:
+    """Full pipeline orchestration (reference: main.cpp:237-383)."""
+    if not (0.0 <= mu <= 1.0):
+        click.echo("Error: Mu has to a value in [0, 1]", err=True)
+        return -1
+
+    max_entries = None
+    if max_ram:
+        try:
+            max_bytes = parse_human_readable(max_ram)
+        except ValueError as e:
+            click.echo(f"Error: {e}", err=True)
+            return -1
+        max_entries = max_bytes // PKDB_VALUE_SIZE
+        if max_entries == 0:
+            click.echo("Error: Memory limit is too low", err=True)
+            return -1
+        click.echo(
+            f"Max-RAM provided: will be loaded not more than "
+            f"{to_human_readable(max_entries)} phylo-k-mers."
+        )
+
+    click.echo(f"Loading database with mu={mu:g} and omega={omega:g}...")
+    try:
+        db = load(database, mu=mu, user_omega=omega, max_entries=max_entries)
+    except ValueError as e:
+        click.echo(f"Error: {e}", err=True)
+        return -1
+
+    if db.sequence_type != states:
+        click.echo(
+            f"Error: database is {db.sequence_type} but -s {states} was requested",
+            err=True,
+        )
+        return -1
+
+    click.echo("Database parameters:")
+    click.echo(f"\tSequence type: {db.sequence_type}")
+    click.echo(f"\tk: {db.kmer_size}")
+    click.echo(f"\tomega: {db.omega:g}")
+    click.echo(f"\tPositions loaded: {'true' if db.positions_loaded else 'false'}")
+    click.echo("")
+    click.echo(
+        f"Loaded {to_human_readable(db.get_num_entries_loaded())} of "
+        f"{to_human_readable(db.get_num_entries_total())} phylo-k-mers. "
+    )
+    click.echo("")
+
+    tree = parse_newick(db.tree())
+    if engine == "reference":
+        from ..engine.reference import ReferencePlacer
+
+        placer = ReferencePlacer(db, tree, keep_at_most=keep_at_most, keep_factor=keep_factor)
+        engine_name = "scalar (oracle)"
+    else:
+        from ..engine.placer import JaxPlacer
+
+        placer = JaxPlacer(db, tree, keep_at_most=keep_at_most, keep_factor=keep_factor)
+        import jax
+
+        engine_name = f"jax/{jax.default_backend()} ({len(jax.devices())} device(s))"
+
+    tree_as_newick = to_newick(tree, jplace_edges=True)
+    jplace_filename = make_output_filename(input_file, outputdir)
+    if invocation is None:
+        invocation = make_invocation(sys.argv)
+    total_fasta_size = os.path.getsize(input_file)
+
+    writer = jplace_writer(jplace_filename, invocation, tree_as_newick)
+    writer.start()
+
+    click.echo(f"Engine: {engine_name}")  # analog of print_intruction_set (main.cpp:50-63)
+    click.echo(f"Placing {input_file}...")
+
+    bar = ProgressBar(total_fasta_size)
+    begin = time.monotonic()
+    num_seq_placed = 0
+    average_speed = 0.0
+    num_iterations = 0
+
+    reader = batch_fasta(input_file, batch_size)
+    while True:
+        batch = reader.next_batch()
+        if not batch:
+            break
+        begin_batch = time.monotonic()
+        placed_batch = placer.place(batch)
+        ms_diff = max((time.monotonic() - begin_batch) * 1000.0, 1.0)
+        seq_per_second = 1000.0 * batch_size / ms_diff
+        average_speed += seq_per_second
+        bar.update(
+            reader.bytes_read(),
+            prefix=f"{to_human_readable(seq_per_second)} seq/s ",
+            postfix=f"{num_seq_placed} / ?",
+        )
+        writer << placed_batch
+        num_seq_placed += len(batch)
+        num_iterations += 1
+    writer.end()
+
+    if num_iterations:
+        average_speed /= num_iterations
+    bar.update(reader.bytes_read(), prefix="Done. ",
+               postfix=to_human_readable(num_seq_placed))
+    bar.finish()
+
+    click.echo(
+        f"Placed {num_seq_placed} sequences.\n"
+        f"Average speed: {to_human_readable(average_speed)} seq/s."
+    )
+    click.echo(f"Output: {jplace_filename}")
+    placement_time = int((time.monotonic() - begin) * 1000)
+    click.echo(f"Placement time: {humanize_time(placement_time)} ({placement_time} ms)")
+    click.echo("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    epik()

@@ -100,11 +100,31 @@ def _place_batch_device(
     eps,
 ):
     """One fused batch placement step (single device)."""
-    f32 = jnp.float32
-    log_eps = f32(log_eps)
-    eps = f32(eps)
+    S, C, e_total = accumulate_exact(
+        table, db_branches, db_scores, e_hi, e_lo, e_read,
+        R=R, B=B, P=P, seed1=seed1, seed2=seed2,
+    )
+    first, V, a_total = accumulate_amb_firsthit(
+        table, db_branches, db_scores, a_hi, a_lo, a_read, a_order,
+        R=R, B=B, PA=PA, k=k, seed1=seed1, seed2=seed2, eps=eps,
+    )
+    hit = first < _ORDER_INF
+    S = S + jnp.where(hit, V, 0.0)
+    C = C + hit.astype(jnp.int32)
+    return finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps) + (e_total, a_total)
 
-    # ---- 1. exact path: lookup -> expand -> scatter-add ----------------------
+
+#: "no ambiguous hit" marker for the first-order matrix
+_ORDER_INF = 2**31 - 1
+
+
+def accumulate_exact(table, db_branches, db_scores, e_hi, e_lo, e_read, *,
+                     R, B, P, seed1, seed2):
+    """Exact path: lookup -> ragged expand -> dense (R,B) scatter-add.
+
+    The TPU analog of the posting-list walk + SIMD update_vector
+    (reference: place.cpp:349-371, intrinsic.h)."""
+    f32 = jnp.float32
     _, e_off, e_len = lookup(table, seed1, seed2, e_hi, e_lo)
     win, elem, e_total = ragged_expand(e_len.astype(jnp.int32), P)
     valid = win >= 0
@@ -114,10 +134,28 @@ def _place_batch_device(
     ps = db_scores[p_idx]
     pr = jnp.where(valid, e_read[sw], jnp.int32(R))  # row R = trash row
 
-    S = jnp.zeros((R + 1, B), f32).at[pr, pb].add(jnp.where(valid, ps, 0.0))
-    C = jnp.zeros((R + 1, B), jnp.int32).at[pr, pb].add(valid.astype(jnp.int32))
+    S = jnp.zeros((R + 1, B), f32).at[pr, pb].add(jnp.where(valid, ps, 0.0))[:R]
+    C = jnp.zeros((R + 1, B), jnp.int32).at[pr, pb].add(valid.astype(jnp.int32))[:R]
+    return S, C, e_total
 
-    # ---- 2. ambiguous path: first-hit per (read, branch) (quirks Q6/Q7) -----
+
+def accumulate_amb_firsthit(table, db_branches, db_scores, a_hi, a_lo, a_read,
+                            a_order, *, R, B, PA, k, seed1, seed2, eps):
+    """Ambiguous path (quirks Q6/Q7) in shard-composable form.
+
+    Returns per-(read, branch):
+      first: min processing order of any local posting hitting the pair
+             (_ORDER_INF when none);
+      V:     the contribution of that first posting,
+             (10**score + (k-1)*eps) / k in probability units (quirk Q6).
+
+    For a hash-sharded database the global combine is
+    ``first_g = pmin(first); V_g = psum(where(first == first_g, V, 0))`` --
+    each expanded key lives on exactly one shard, so the argmin is unique
+    (SURVEY.md section 5.8).
+    """
+    f32 = jnp.float32
+    eps = f32(eps)
     _, a_off, a_len = lookup(table, seed1, seed2, a_hi, a_lo)
     awin, aelem, a_total = ragged_expand(a_len.astype(jnp.int32), PA)
     avalid = awin >= 0
@@ -126,23 +164,23 @@ def _place_batch_device(
     ab = db_branches[ap_idx]
     as_ = db_scores[ap_idx]
     ar = jnp.where(avalid, a_read[asw], jnp.int32(R))
-    aord = jnp.where(avalid, a_order[asw], jnp.int32(2**31 - 1))
+    aord = jnp.where(avalid, a_order[asw], jnp.int32(_ORDER_INF))
 
-    first = (
-        jnp.full((R + 1, B), 2**31 - 1, jnp.int32).at[ar, ab].min(aord)
-    )
+    first = jnp.full((R + 1, B), _ORDER_INF, jnp.int32).at[ar, ab].min(aord)
     sel = avalid & (aord == first[ar, ab])
-    # contribution of the first expanded key hitting (read, branch):
-    # (10**score + (k-1)*eps) / k, probability units (quirk Q6)
     pow10 = jnp.exp(as_ * f32(math.log(10.0)))
     contrib = (pow10 + f32(k - 1) * eps) / f32(k)
-    S = S.at[ar, ab].add(jnp.where(sel, contrib, 0.0))
-    C = C.at[ar, ab].add(sel.astype(jnp.int32))
+    V = jnp.zeros((R + 1, B), f32).at[ar, ab].add(jnp.where(sel, contrib, 0.0))
+    return first[:R], V[:R], a_total
 
-    S, C = S[:R], C[:R]
+
+def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
+    """Correction + LWR + top-k on the merged (R, B) score/count matrices."""
+    f32 = jnp.float32
+    log_eps = f32(log_eps)
     touched = C > 0
 
-    # ---- 3. score correction (place.cpp:417-422) -----------------------------
+    # ---- score correction (place.cpp:417-422) --------------------------------
     diff = m_f32[:, None] - C.astype(f32)
     # size_t wraparound emulation: C > m only happens via ambiguity fan-out;
     # float32(2**64 - small) == float32(2**64) (quirk Q1 family)
@@ -151,7 +189,7 @@ def _place_batch_device(
     neg_inf = f32(-jnp.inf)
     corrected = jnp.where(touched, corrected, neg_inf)
 
-    # ---- 4. LWR normalization over ALL branches (quirk Q4) -------------------
+    # ---- LWR normalization over ALL branches (quirk Q4) ----------------------
     n = jnp.sum(touched, axis=1).astype(jnp.int32)
     npl_exp = m_f32 * log_eps / f32(k)  # f32, matching sum_scores (place.cpp:175)
     n_not = f32(B) - n.astype(f32)
@@ -168,7 +206,7 @@ def _place_batch_device(
         (npl_exp < f32(_POW10_ZERO)) | (n_not <= 0)
     )
 
-    # ---- 5. top-k ------------------------------------------------------------
+    # ---- top-k ---------------------------------------------------------------
     topk_scores, topk_idx = jax.lax.top_k(corrected, K)
     topk_counts = jnp.take_along_axis(C, topk_idx, axis=1)
     wr = jnp.exp((topk_scores - log_sum[:, None]) * ln10)
@@ -180,8 +218,6 @@ def _place_batch_device(
         wr,
         n,
         zero_sum,
-        e_total,
-        a_total,
     )
 
 
@@ -312,6 +348,51 @@ class JaxPlacer:
         return self._assemble(
             seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K
         )
+
+    def device_fn_args(self, records: list[tuple[str, bytes]]):
+        """(jittable fn, example array args) for the staged device step.
+
+        Used by the harness entry point and benchmarks: ``fn(*args)`` is the
+        full fused placement step with all static parameters bound.
+        """
+        cfg = self.config
+        sequence_map: dict[bytes, list[str]] = {}
+        for header, seq in records:
+            sequence_map.setdefault(seq, []).append(header)
+        seqs = list(sequence_map.keys())
+        R = len(seqs)
+        tokens = tokenize_batch(seqs, self.k, self.alphabet)
+        m_signed = tokens.seq_lengths - self.k + 1
+        m_f32 = np.where(
+            m_signed >= 0,
+            m_signed.astype(np.float32),
+            np.float32(float(_U64)) + m_signed.astype(np.float32),
+        ).astype(np.float32)
+        E = _bucket(tokens.exact_keys.shape[0], cfg.min_bucket)
+        A = _bucket(tokens.amb_keys.shape[0], cfg.min_bucket)
+        e_hi, e_lo = self._pad_u64_split(tokens.exact_keys, E)
+        a_hi, a_lo = self._pad_u64_split(tokens.amb_keys, A)
+        est = max(1, int(self._avg_plen * cfg.budget_headroom))
+        statics = dict(
+            R=R, B=self.B, K=min(cfg.keep_at_most, self.B),
+            P=_bucket(tokens.exact_keys.shape[0] * est, cfg.min_bucket),
+            PA=_bucket(tokens.amb_keys.shape[0] * est, cfg.min_bucket),
+            k=self.k, seed1=self.table.seed1, seed2=self.table.seed2,
+            log_eps=float(self.log_eps), eps=float(self.eps),
+        )
+        import functools as _ft
+
+        fn = _ft.partial(_place_batch_device, **statics)
+        args = (
+            self._dev_table, self._dev_branches, self._dev_scores,
+            jnp.asarray(e_hi), jnp.asarray(e_lo),
+            jnp.asarray(self._pad_i32(tokens.exact_read, E, R)),
+            jnp.asarray(a_hi), jnp.asarray(a_lo),
+            jnp.asarray(self._pad_i32(tokens.amb_read, A, R)),
+            jnp.asarray(self._pad_i32(tokens.amb_order, A, 2**31 - 1)),
+            jnp.asarray(m_f32),
+        )
+        return fn, args
 
     # -- host-side row assembly ------------------------------------------------
 

@@ -85,6 +85,7 @@ def random_db(
     omega: float = 1.5,
     sequence_type: str = "nucl",
     seed: int = 0,
+    unique_branches: bool = True,
 ) -> PhyloKmerDB:
     """A seeded synthetic database with realistic shape statistics.
 
@@ -106,10 +107,15 @@ def random_db(
     lens = np.minimum(lens, num_branches).astype(np.int64)
     row_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
     total = int(row_off[-1])
-    branches = np.empty(total, dtype=np.uint32)
-    for i in range(num_kmers):
-        lo, hi = row_off[i], row_off[i + 1]
-        branches[lo:hi] = rng.choice(num_branches, size=hi - lo, replace=False)
+    if unique_branches:
+        branches = np.empty(total, dtype=np.uint32)
+        for i in range(num_kmers):
+            lo, hi = row_off[i], row_off[i + 1]
+            branches[lo:hi] = rng.choice(num_branches, size=hi - lo, replace=False)
+    else:
+        # fast path for large benchmark DBs; rows may repeat a branch, which
+        # is fine for unambiguous reads (both engines accumulate identically)
+        branches = rng.integers(0, num_branches, size=total).astype(np.uint32)
     log_eps = log10_score_threshold(omega, kmer_size, alphabet.sigma)
     scores = rng.uniform(log_eps, -0.05, size=total).astype(np.float32)
     db = PhyloKmerDB(

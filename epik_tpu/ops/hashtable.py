@@ -98,16 +98,20 @@ def build_table(
     load_factor: float = 0.85,
     max_kicks: int = 512,
     seed: int = 0x9E3779B9,
+    min_buckets: int = 1,
 ) -> CuckooTable:
     """Build the table on host from sorted-unique uint64 keys + CSR slices.
 
     Bulk pass: vectorized placement of up to BUCKET keys per h1 bucket;
     leftovers go through classic cuckoo random-walk eviction.  On a (rare)
-    failure the whole build retries with fresh seeds.
+    failure the whole build retries with fresh seeds.  ``min_buckets`` forces
+    a common geometry across shards so per-shard tables can be stacked.
     """
     keys = np.asarray(keys, dtype=np.uint64)
     n = keys.shape[0]
-    nb = _next_pow2(max(1, int(np.ceil(n / (BUCKET * load_factor)))))
+    nb = max(
+        _next_pow2(max(1, int(np.ceil(n / (BUCKET * load_factor))))), min_buckets
+    )
     mask = nb - 1
     rng = np.random.default_rng(seed)
 

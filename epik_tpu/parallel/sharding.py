@@ -1,0 +1,343 @@
+"""Multi-device placement: data-parallel reads x hash-sharded database.
+
+TPU-native distribution (green-field vs the reference, which is a single
+OpenMP process -- SURVEY.md sections 2 and 5.8):
+
+* **data axis**: unique reads of a batch are split into contiguous groups,
+  one per data shard; no communication -- the analog of the reference's
+  OpenMP parallel-for over reads (reference: epik/src/epik/place.cpp:218-229).
+* **model axis**: the k-mer table is partitioned by key hash; every model
+  shard looks up the *full* replicated key stream against its own cuckoo
+  table.  A key misses on every shard but its owner, so no routing or
+  all-to-all is needed; the dense per-(read, branch) partial score/count
+  matrices merge with ``psum`` over ICI, and the ambiguous first-hit
+  combines as ``pmin`` over processing order followed by a masked ``psum``
+  of the owning shard's contribution (each key lives on exactly one shard,
+  so the argmin is unique).
+
+Everything below runs inside one ``shard_map`` over a ('data', 'model')
+mesh and is jit-compiled once per budget bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..core.alphabet import get_alphabet
+from ..core.kmers import tokenize_batch
+from ..core.scoring import score_threshold
+from ..core.tree import PhyloTree
+from ..engine.placer import (
+    _ORDER_INF,
+    _U64,
+    PlacerConfig,
+    _bucket,
+    accumulate_amb_firsthit,
+    accumulate_exact,
+    finish_scores,
+)
+from ..engine.types import PlacedCollection, PlacedSequence, Placement
+from ..io.db import PhyloKmerDB
+from ..ops.hashtable import build_table
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = ["ShardedJaxPlacer", "shard_db_by_hash"]
+
+_SENTINEL_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _shard_of_key(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Stable hash-based shard assignment (balanced, key-range-free)."""
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        x = lo ^ (hi * np.uint32(0x9E3779B9))
+        x ^= x >> np.uint32(16)
+        x *= np.uint32(0x7FEB352D)
+        x ^= x >> np.uint32(15)
+    return (x % np.uint32(n_shards)).astype(np.int64)
+
+
+@dataclasses.dataclass
+class _ShardedDB:
+    """Stacked per-shard tables + posting arrays (leading model axis)."""
+
+    t_hi: np.ndarray  # [n_model, nb, BUCKET] uint32
+    t_lo: np.ndarray
+    t_off: np.ndarray
+    t_len: np.ndarray
+    branches: np.ndarray  # [n_model, Pmax] int32
+    scores: np.ndarray  # [n_model, Pmax] float32
+    seeds: list[tuple[int, int]]
+    avg_plen: float
+
+
+def shard_db_by_hash(db: PhyloKmerDB, n_model: int) -> _ShardedDB:
+    lens_all = np.diff(db.row_off)
+    shard_ids = _shard_of_key(db.keys, n_model)
+    per_shard = []
+    max_n = max(1, int(np.max(np.bincount(shard_ids, minlength=n_model))) if db.num_kmers else 1)
+    nb_target = None
+    for s in range(n_model):
+        sel = shard_ids == s
+        keys = db.keys[sel]
+        lens = lens_all[sel].astype(np.int64)
+        # local CSR
+        local_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        idx_rows = np.flatnonzero(sel)
+        branches = np.concatenate(
+            [db.branches[db.row_off[i] : db.row_off[i + 1]] for i in idx_rows]
+        ) if idx_rows.size else np.empty(0, np.uint32)
+        scores = np.concatenate(
+            [db.scores[db.row_off[i] : db.row_off[i + 1]] for i in idx_rows]
+        ) if idx_rows.size else np.empty(0, np.float32)
+        per_shard.append((keys, local_off, branches, scores))
+
+    # identical table geometry across shards (required for stacking)
+    from ..ops.hashtable import BUCKET, _next_pow2
+
+    nb_target = _next_pow2(max(1, int(np.ceil(max_n / (BUCKET * 0.85)))))
+    tables = []
+    for keys, local_off, branches, scores in per_shard:
+        t = build_table(keys, local_off[:-1], np.diff(local_off), min_buckets=nb_target)
+        tables.append(t)
+    p_max = max(1, max(x[2].shape[0] for x in per_shard))
+    stack = lambda f: np.stack([f(i) for i in range(n_model)])
+    branches_pad = stack(
+        lambda i: np.pad(per_shard[i][2].astype(np.int32), (0, p_max - per_shard[i][2].shape[0]))
+    )
+    scores_pad = stack(
+        lambda i: np.pad(per_shard[i][3].astype(np.float32), (0, p_max - per_shard[i][3].shape[0]))
+    )
+    return _ShardedDB(
+        t_hi=stack(lambda i: tables[i].key_hi),
+        t_lo=stack(lambda i: tables[i].key_lo),
+        t_off=stack(lambda i: tables[i].off),
+        t_len=stack(lambda i: tables[i].length),
+        branches=branches_pad,
+        scores=scores_pad,
+        seeds=[(t.seed1, t.seed2) for t in tables],
+        avg_plen=float(lens_all.mean()) if lens_all.size else 1.0,
+    )
+
+
+class ShardedJaxPlacer:
+    """Multi-device placer: same ``place(records)`` surface as JaxPlacer."""
+
+    def __init__(
+        self,
+        db: PhyloKmerDB,
+        tree: PhyloTree,
+        mesh,
+        keep_at_most: int = 7,
+        keep_factor: float = 0.01,
+        config: PlacerConfig | None = None,
+    ):
+        self.db = db
+        self.tree = tree
+        self.mesh = mesh
+        self.n_data = mesh.shape[DATA_AXIS]
+        self.n_model = mesh.shape[MODEL_AXIS]
+        self.config = config or PlacerConfig()
+        self.config.keep_at_most = keep_at_most
+        self.config.keep_factor = keep_factor
+        self.alphabet = get_alphabet(db.sequence_type)
+        self.k = db.kmer_size
+        self.B = tree.get_node_count()
+        self.eps = np.float32(score_threshold(db.omega, self.k, self.alphabet.sigma))
+        self.log_eps = np.float32(np.log10(self.eps))
+        num, tot = tree.tree_index()
+        self.distal = tree.branch_lengths / 2.0
+        mean = np.where(num > 1, tot / np.maximum(num, 1), 0.0)
+        self.pendant = mean + self.distal
+
+        sdb = shard_db_by_hash(db, self.n_model)
+        self._sdb = sdb
+        # per-shard seeds must be identical for a traced kernel; rebuild with a
+        # common seed pair would be ideal, but seeds are static args instead:
+        # we pass stacked seed arrays through the mesh.
+        self._seed1 = np.array([s[0] for s in sdb.seeds], dtype=np.uint32)
+        self._seed2 = np.array([s[1] for s in sdb.seeds], dtype=np.uint32)
+
+    # -- device kernel ---------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "R", "K", "Pb", "PAb"))
+    def _sharded_kernel(self, seed1, seed2, t_hi, t_lo, t_off, t_len, db_b, db_s,
+                        e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
+                        R: int, K: int, Pb: int, PAb: int):
+        B, k = self.B, self.k
+        mesh = self.mesh
+
+        def block(seed1, seed2, t_hi, t_lo, t_off, t_len, db_b, db_s,
+                  e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m):
+            table = (t_hi[0], t_lo[0], t_off[0], t_len[0])
+            s1 = seed1[0, 0]
+            s2 = seed2[0, 0]
+            S, C, e_total = accumulate_exact(
+                table, db_b[0], db_s[0], e_hi[0], e_lo[0], e_read[0],
+                R=R, B=B, P=Pb, seed1=s1, seed2=s2,
+            )
+            first, V, a_total = accumulate_amb_firsthit(
+                table, db_b[0], db_s[0], a_hi[0], a_lo[0], a_read[0], a_order[0],
+                R=R, B=B, PA=PAb, k=k, seed1=s1, seed2=s2, eps=self.eps,
+            )
+            # merge partial matrices over the model axis (ICI collectives)
+            S = jax.lax.psum(S, MODEL_AXIS)
+            C = jax.lax.psum(C, MODEL_AXIS)
+            first_g = jax.lax.pmin(first, MODEL_AXIS)
+            hit = first_g < _ORDER_INF
+            owner = (first == first_g) & hit
+            V_g = jax.lax.psum(jnp.where(owner, V, 0.0), MODEL_AXIS)
+            S = S + jnp.where(hit, V_g, 0.0)
+            C = C + hit.astype(jnp.int32)
+            outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=self.log_eps)
+            e_tot = jax.lax.pmax(e_total, MODEL_AXIS)
+            a_tot = jax.lax.pmax(a_total, MODEL_AXIS)
+            return tuple(o[None] for o in outs) + (e_tot[None], a_tot[None])
+
+        spec_model = P(MODEL_AXIS)
+        spec_data = P(DATA_AXIS)
+        out = jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(spec_model,) * 8 + (spec_data,) * 8,
+            out_specs=(spec_data,) * 8,
+            check_vma=False,
+        )(
+            seed1[:, None], seed2[:, None], t_hi, t_lo, t_off, t_len, db_b, db_s,
+            e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
+        )
+        return out
+
+    # -- host orchestration ----------------------------------------------------
+
+    def place(self, records: list[tuple[str, bytes]]) -> PlacedCollection:
+        cfg = self.config
+        sequence_map: dict[bytes, list[str]] = {}
+        for header, seq in records:
+            sequence_map.setdefault(seq, []).append(header)
+        seqs = list(sequence_map.keys())
+        if not seqs:
+            return PlacedCollection(sequence_map={}, placed_seqs=[])
+
+        nd = self.n_data
+        R = max(1, -(-len(seqs) // nd))  # reads per data shard
+        groups = [seqs[i * R : (i + 1) * R] for i in range(nd)]
+        toks = [tokenize_batch(g, self.k, self.alphabet) for g in groups]
+
+        E = _bucket(max(t.exact_keys.shape[0] for t in toks), cfg.min_bucket)
+        A = _bucket(max(t.amb_keys.shape[0] for t in toks), cfg.min_bucket)
+        est = max(1, int(self._sdb.avg_plen * cfg.budget_headroom))
+        # each model shard owns ~1/n_model of the postings
+        P_budget = _bucket(max(1, E * est // max(1, self.n_model)), cfg.min_bucket)
+        PA_budget = _bucket(max(1, A * est // max(1, self.n_model)), cfg.min_bucket)
+        K = min(cfg.keep_at_most, self.B)
+
+        def pad_group(t):
+            e_hi, e_lo = _pad_split(t.exact_keys, E)
+            a_hi, a_lo = _pad_split(t.amb_keys, A)
+            m_signed = t.seq_lengths - self.k + 1
+            m_f32 = np.where(
+                m_signed >= 0,
+                m_signed.astype(np.float32),
+                np.float32(float(_U64)) + m_signed.astype(np.float32),
+            ).astype(np.float32)
+            m_pad = np.zeros(R, np.float32)
+            m_pad[: m_f32.shape[0]] = m_f32
+            return (
+                e_hi, e_lo, _pad_i32(t.exact_read, E, R),
+                a_hi, a_lo, _pad_i32(t.amb_read, A, R),
+                _pad_i32(t.amb_order, A, _ORDER_INF), m_pad,
+            )
+
+        padded = [pad_group(t) for t in toks]
+        stack = lambda i: np.stack([p[i] for p in padded])
+        sdb = self._sdb
+
+        while True:
+            out = self._sharded_kernel(
+                jnp.asarray(self._seed1), jnp.asarray(self._seed2),
+                jnp.asarray(sdb.t_hi), jnp.asarray(sdb.t_lo),
+                jnp.asarray(sdb.t_off), jnp.asarray(sdb.t_len),
+                jnp.asarray(sdb.branches), jnp.asarray(sdb.scores),
+                stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
+                stack(6), stack(7),
+                R=R, K=K, Pb=P_budget, PAb=PA_budget,
+            )
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_tot, a_tot) = [
+                np.asarray(x) for x in out
+            ]
+            if e_tot.max() <= P_budget and a_tot.max() <= PA_budget:
+                break
+            if e_tot.max() > P_budget:
+                P_budget = _bucket(int(e_tot.max()), cfg.min_bucket)
+            if a_tot.max() > PA_budget:
+                PA_budget = _bucket(int(a_tot.max()), cfg.min_bucket)
+
+        # flatten data-shard outputs back to read order
+        placed_seqs: list[PlacedSequence] = []
+        for g, group in enumerate(groups):
+            t = toks[g]
+            m_signed = t.seq_lengths - self.k + 1
+            for i, seq in enumerate(group):
+                n = int(n_touched[g, i])
+                keep_factor = cfg.keep_factor
+                if n == 0:
+                    placements, sum_is_zero = self._fallback(int(m_signed[i]) % _U64)
+                    if sum_is_zero:
+                        keep_factor = 0.0
+                else:
+                    placements = []
+                    for j in range(min(n, K)):
+                        e = int(idx_k[g, i, j])
+                        placements.append(
+                            Placement(
+                                branch_id=e,
+                                score=float(scores_k[g, i, j]),
+                                weight_ratio=float(wr_k[g, i, j]),
+                                count=int(counts_k[g, i, j]),
+                                distal_length=float(self.distal[e]),
+                                pendant_length=float(self.pendant[e]),
+                            )
+                        )
+                    if zero_sum[g, i]:
+                        keep_factor = 0.0
+                best = placements[0].weight_ratio if placements else 0.0
+                threshold = best * keep_factor
+                placements = [p for p in placements if p.weight_ratio >= threshold]
+                placed_seqs.append(PlacedSequence(sequence=seq, placements=placements))
+        return PlacedCollection(sequence_map=sequence_map, placed_seqs=placed_seqs)
+
+    def _fallback(self, m_wrapped: int):
+        k = self.k
+        ts = float(np.float32(self.log_eps * np.float32(float(m_wrapped)) / np.float32(k)))
+        exponent = float(np.float32(np.float32(float(m_wrapped)) * self.log_eps / np.float32(k)))
+        score_sum = float(self.B) * 10.0**exponent
+        out = []
+        for i in range(self.config.keep_at_most):
+            power = 10.0**ts
+            wr = 0.0 if (score_sum == 0.0 or power == 0.0) else power / score_sum
+            out.append(Placement(i, ts, wr, 0, 0.0, 0.0))
+        return out, score_sum == 0.0
+
+
+def _pad_split(keys: np.ndarray, size: int):
+    padded = np.full(size, _SENTINEL_KEY, dtype=np.uint64)
+    padded[: keys.shape[0]] = keys
+    return (
+        (padded >> np.uint64(32)).astype(np.uint32),
+        (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+
+
+def _pad_i32(arr: np.ndarray, size: int, fill: int):
+    padded = np.full(size, fill, dtype=np.int32)
+    padded[: arr.shape[0]] = arr
+    return padded

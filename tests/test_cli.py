@@ -1,0 +1,130 @@
+"""CLI tests: flag surface, driver orchestration, output naming, parity.
+
+Covers the reference's two CLI layers (reference: epik.py:29-70 and
+epik/src/epik/main.cpp:205-265) plus the end-to-end differential gate.
+"""
+
+import json
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from epik_tpu.cli.main import epik, make_invocation, make_output_filename
+from epik_tpu.core.alphabet import DNA
+from epik_tpu.io.build import random_db
+from epik_tpu.io.db import save
+from epik_tpu.tools.jplace_diff import jplace_diff
+from epik_tpu.utils.progress import humanize_time, parse_human_readable, to_human_readable
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    db = random_db(num_leaves=16, kmer_size=6, num_kmers=1024, seed=77)
+    save(db, d / "DB.eptk")
+    rng = np.random.default_rng(5)
+    with open(d / "q.fasta", "w") as f:
+        for i in range(30):
+            parts = [
+                DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                for _ in range(5)
+            ]
+            f.write(f">q{i}\n{''.join(parts)}\n")
+    return d
+
+
+class TestHelpers:
+    def test_invocation_trailing_space(self):
+        # reference: main.cpp:23-32 joins argv with a trailing space
+        assert make_invocation(["epik", "place", "-i", "db"]) == "epik place -i db "
+
+    def test_output_filename(self):
+        # reference: main.cpp:34-37 -- keeps the input extension
+        assert make_output_filename("/x/y/reads.fasta", "/out") == "/out/placements_reads.fasta.jplace"
+
+    @pytest.mark.parametrize(
+        "s,expect",
+        [("100", 100), ("128K", 131072), ("50M", 52428800), ("1G", 1073741824),
+         ("4.5K", 4608), ("2b", 2)],
+    )
+    def test_parse_max_ram(self, s, expect):
+        assert parse_human_readable(s) == expect
+
+    def test_parse_max_ram_bad(self):
+        with pytest.raises(ValueError):
+            parse_human_readable("12X")
+        with pytest.raises(ValueError):
+            parse_human_readable("abc")
+
+    def test_to_human_readable(self):
+        assert to_human_readable(100) == "100"
+        assert to_human_readable(2048) == "2K"
+        assert to_human_readable(1536) == "1.5K"
+        assert to_human_readable(3 * 1024 * 1024) == "3M"
+
+    def test_humanize_time(self):
+        assert humanize_time(65_000) == "01:05"
+        assert humanize_time(3_725_000) == "01:02:05"
+        assert humanize_time(90_000_000) == "1 day, 01:00:00"
+
+
+class TestPlaceCommand:
+    def _run(self, fixture_dir, outsub, *extra):
+        out = fixture_dir / outsub
+        out.mkdir(exist_ok=True)
+        runner = CliRunner()
+        result = runner.invoke(
+            epik,
+            ["place", "-i", str(fixture_dir / "DB.eptk"), "-o", str(out),
+             str(fixture_dir / "q.fasta"), *extra],
+            catch_exceptions=False,
+        )
+        return result, out / "placements_q.fasta.jplace"
+
+    def test_place_jax(self, fixture_dir):
+        result, jp = self._run(fixture_dir, "oj", "--engine", "jax")
+        assert result.exit_code == 0, result.output
+        assert "Placed 30 sequences." in result.output
+        assert "Database parameters:" in result.output
+        assert "Loaded " in result.output
+        content = json.loads(jp.read_text())
+        assert content["version"] == 3
+        assert len(content["placements"]) >= 1
+
+    def test_engine_parity(self, fixture_dir):
+        _, jp1 = self._run(fixture_dir, "oj2", "--engine", "jax")
+        _, jp2 = self._run(fixture_dir, "orf", "--engine", "reference")
+        res = jplace_diff(str(jp1), str(jp2))
+        assert res.clean, res.mismatches[:5]
+
+    def test_states_mismatch(self, fixture_dir):
+        result, _ = self._run(fixture_dir, "os", "-s", "amino")
+        assert result.exit_code != 0
+
+    def test_bad_mu(self, fixture_dir):
+        result, _ = self._run(fixture_dir, "om", "--mu", "2.0")
+        assert result.exit_code != 0
+        assert "Mu has to a value in [0, 1]" in result.output
+
+    def test_max_ram(self, fixture_dir):
+        result, jp = self._run(fixture_dir, "omr", "--max-ram", "2K")
+        assert result.exit_code == 0
+        assert "Max-RAM provided" in result.output
+        # 2K / 8 bytes = 256 entries max
+        assert "256" in result.output
+
+    def test_batch_size(self, fixture_dir):
+        result, jp = self._run(fixture_dir, "ob", "--batch-size", "7")
+        assert result.exit_code == 0
+        content = json.loads(jp.read_text())
+        names = [nm[0] for p in content["placements"] for nm in p["nm"]]
+        assert len(names) == 30
+
+    def test_help(self):
+        runner = CliRunner()
+        result = runner.invoke(epik, ["place", "--help"])
+        assert result.exit_code == 0
+        for flag in ("--database", "--states", "--omega", "--mu", "--max-ram",
+                     "--keep-at-most", "--keep-factor", "--batch-size"):
+            assert flag in result.output

@@ -1,0 +1,120 @@
+"""Multi-device tests on a virtual 8-CPU mesh (SURVEY.md section 4:
+"multi-device without a cluster").
+
+Differential gate: the sharded placer must match the scalar oracle for every
+mesh shape, including hash-sharded databases where ambiguous first-hit
+selection crosses shard boundaries.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from epik_tpu.core.alphabet import DNA
+from epik_tpu.core.tree import parse_newick
+from epik_tpu.engine.reference import ReferencePlacer
+from epik_tpu.io.build import random_db, random_reads
+from epik_tpu.parallel.mesh import make_mesh
+from epik_tpu.parallel.sharding import ShardedJaxPlacer, shard_db_by_hash
+
+from test_jax_engine import assert_equivalent
+
+
+@pytest.fixture(scope="module")
+def db():
+    return random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=21)
+
+
+@pytest.fixture(scope="module")
+def reads(db):
+    rng = np.random.default_rng(50)
+    recs = []
+    for i in range(48):
+        parts = [
+            DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+            for _ in range(rng.integers(1, 6))
+        ]
+        recs.append((f"q{i}", "".join(parts).encode()))
+    # ambiguity + edge cases
+    recs += [("amb1", b"ANGTCA" * 3), ("nohit", b"T" * 20), ("short", b"AC")]
+    recs += random_reads(8, length=30, seed=51, ambig_rate=0.1)
+    return recs
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+def test_shard_assignment_balanced(db):
+    from epik_tpu.parallel.sharding import _shard_of_key
+
+    s = _shard_of_key(db.keys, 4)
+    counts = np.bincount(s, minlength=4)
+    assert counts.sum() == db.num_kmers
+    assert counts.min() > db.num_kmers / 4 * 0.7  # roughly balanced
+
+
+def test_shard_db_roundtrip(db):
+    """Every key must be findable in exactly its own shard's table."""
+    import jax.numpy as jnp
+
+    from epik_tpu.ops.hashtable import lookup
+
+    sdb = shard_db_by_hash(db, 4)
+    total_found = 0
+    hi = (db.keys >> np.uint64(32)).astype(np.uint32)
+    lo = (db.keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    for s in range(4):
+        table = (
+            jnp.asarray(sdb.t_hi[s]), jnp.asarray(sdb.t_lo[s]),
+            jnp.asarray(sdb.t_off[s]), jnp.asarray(sdb.t_len[s]),
+        )
+        found, off, length = lookup(
+            table, int(sdb.seeds[s][0]), int(sdb.seeds[s][1]),
+            jnp.asarray(hi), jnp.asarray(lo),
+        )
+        total_found += int(np.asarray(found).sum())
+    assert total_found == db.num_kmers  # each key in exactly one shard
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_mesh_shapes_match_oracle(db, reads, n_data, n_model):
+    tree = parse_newick(db.tree())
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    sharded = ShardedJaxPlacer(db, tree, mesh)
+    ref = ReferencePlacer(db, tree)
+    assert_equivalent(ref.place(reads), sharded.place(reads))
+
+
+def test_fewer_reads_than_shards(db):
+    tree = parse_newick(db.tree())
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = ShardedJaxPlacer(db, tree, mesh)
+    ref = ReferencePlacer(db, tree)
+    recs = [("only", b"ACGTAC" * 4)]
+    assert_equivalent(ref.place(recs), sharded.place(recs))
+
+
+def test_amino_sharded():
+    db = random_db(num_leaves=16, kmer_size=4, num_kmers=1500, seed=31,
+                   sequence_type="amino")
+    tree = parse_newick(db.tree())
+    mesh = make_mesh(n_data=2, n_model=4)
+    sharded = ShardedJaxPlacer(db, tree, mesh)
+    ref = ReferencePlacer(db, tree)
+    from epik_tpu.core.alphabet import AMINO
+
+    rng = np.random.default_rng(41)
+    recs = [
+        (
+            f"p{i}",
+            "".join(
+                AMINO.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 4)
+                for _ in range(4)
+            ).encode(),
+        )
+        for i in range(16)
+    ]
+    recs.append(("ambX", b"ACDXFGHI"))
+    assert_equivalent(ref.place(recs), sharded.place(recs))
