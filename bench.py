@@ -85,12 +85,25 @@ def main() -> None:
     rps = placed / elapsed
     log(f"placed {placed} reads in {elapsed:.2f}s -> {rps:.0f} reads/s/chip")
 
-    # --- baseline: faithful scalar oracle on this host ------------------------
-    base_n = 400
-    t_b = time.time()
-    ReferencePlacer(db, tree).place(reads[:base_n])
-    base_rps = base_n / (time.time() - t_b)
-    log(f"scalar-oracle baseline: {base_rps:.0f} reads/s (on {base_n} reads)")
+    # --- baseline: faithful scalar implementation at native (C++) speed -------
+    # single-thread C++ mirroring the reference algorithm (the reference
+    # binary itself cannot be built here: its i2l submodule is empty)
+    try:
+        from epik_tpu.native import NativeScalarPlacer
+
+        nat = NativeScalarPlacer(db)
+        base_n = min(4000, NUM_READS)
+        t_b = time.time()
+        nat.place_scores([s for _, s in reads[:base_n]])
+        base_rps = base_n / (time.time() - t_b)
+        log(f"native scalar baseline: {base_rps:.0f} reads/s (C++ single thread)")
+    except Exception as e:  # pragma: no cover
+        log(f"native baseline unavailable ({e}); falling back to python oracle")
+        base_n = 400
+        t_b = time.time()
+        ReferencePlacer(db, tree).place(reads[:base_n])
+        base_rps = base_n / (time.time() - t_b)
+        log(f"scalar-oracle baseline: {base_rps:.0f} reads/s (on {base_n} reads)")
 
     print(json.dumps({
         "metric": "reads_placed_per_sec_per_chip",

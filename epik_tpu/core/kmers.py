@@ -125,8 +125,9 @@ class BatchTokens:
     amb_order: np.ndarray  # int32[A] per-read processing order
 
 
-def tokenize_batch(seqs: list[bytes], k: int, alphabet: Alphabet) -> BatchTokens:
-    """Tokenize a batch of unique read contents into flat streams."""
+def tokenize_batch_slow(seqs: list[bytes], k: int, alphabet: Alphabet) -> BatchTokens:
+    """Per-read tokenization (behavioral specification; differential oracle
+    for the single-pass version below)."""
     n = len(seqs)
     num_windows = np.zeros(n, dtype=np.int64)
     seq_lengths = np.zeros(n, dtype=np.int64)
@@ -154,4 +155,118 @@ def tokenize_batch(seqs: list[bytes], k: int, alphabet: Alphabet) -> BatchTokens
         amb_keys=cat64(a_keys),
         amb_read=cat32(a_read),
         amb_order=cat32(a_order),
+    )
+
+
+def tokenize_batch(seqs: list[bytes], k: int, alphabet: Alphabet) -> BatchTokens:
+    """Single-pass vectorized batch tokenizer.
+
+    All reads are concatenated with k-1 invalid separator bytes; windows,
+    ambiguity classification, and rolling keys are computed over the whole
+    buffer in flat numpy sweeps (no per-read Python loop).  Windows crossing
+    read boundaries land on separator bytes and are discarded by the same
+    invalid-character rule that drops bad characters inside reads.  This is
+    the host-side hot path feeding the device pipeline; at 150bp x 2000-read
+    batches the per-read loop would cap end-to-end throughput around
+    20k reads/s, far below the device rate.
+    """
+    n = len(seqs)
+    num_windows = np.zeros(n, dtype=np.int64)
+    seq_lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    empty = BatchTokens(
+        num_reads=n,
+        num_windows=num_windows,
+        seq_lengths=seq_lengths,
+        exact_keys=np.empty(0, np.uint64),
+        exact_read=np.empty(0, np.int32),
+        amb_keys=np.empty(0, np.uint64),
+        amb_read=np.empty(0, np.int32),
+        amb_order=np.empty(0, np.int32),
+    )
+    if n == 0:
+        return empty
+    num_windows[:] = np.maximum(seq_lengths - k + 1, 0)
+
+    sep = b"\x00" * (k - 1) if k > 1 else b""
+    buf = sep.join(seqs)
+    codes = alphabet.encode_codes(buf)
+    L = codes.shape[0]
+    if L < k:
+        return empty
+
+    # read id per buffer position; separators belong to the preceding read
+    # (their windows are invalid anyway)
+    starts = np.concatenate([[0], np.cumsum(seq_lengths[:-1] + (k - 1))])
+    read_of_pos = np.zeros(L, dtype=np.int32)
+    # a trailing empty read starts at L (past the buffer) -- no positions
+    in_range = starts[1:][starts[1:] < L]
+    np.add.at(read_of_pos, in_range, 1)  # several empty reads may share a start
+    read_of_pos = np.cumsum(read_of_pos, dtype=np.int32)
+
+    is_inv = codes == _INVALID
+    is_amb = (codes >= _AMBIG_BASE) & ~is_inv
+    inv_w = _window_sums(is_inv, k)
+    amb_w = _window_sums(is_amb, k)
+    exact_w = (inv_w == 0) & (amb_w == 0)
+    oneamb_w = (inv_w == 0) & (amb_w == 1)
+
+    sigma = np.uint64(alphabet.sigma)
+    mult = sigma ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    digits = np.where(codes < sigma, codes, 0).astype(np.uint64)
+    # rolling base keys: k contiguous shifted multiply-adds (a strided
+    # sliding_window_view product is ~100x slower on non-contiguous memory)
+    n_win = L - k + 1
+    base_keys = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):
+        base_keys += digits[j : j + n_win] * mult[j]
+    win_read = read_of_pos[:n_win]
+
+    exact_keys = base_keys[exact_w]
+    exact_read = win_read[exact_w]
+
+    if oneamb_w.any():
+        amb_pos = np.flatnonzero(is_amb)
+        wins = np.flatnonzero(oneamb_w)
+        # the single ambiguous position inside each one-amb window
+        p = amb_pos[np.searchsorted(amb_pos, wins)]
+        sym = codes[p] - _AMBIG_BASE
+        fanout = np.array(
+            [len(e) for e in alphabet.ambig_expansions], dtype=np.int64
+        )[sym]
+        # flatten (window, expansion) pairs
+        total = int(fanout.sum())
+        w_rep = np.repeat(wins, fanout)
+        p_rep = np.repeat(p, fanout)
+        # index within each window's expansion list
+        exp_starts = np.concatenate([[0], np.cumsum(fanout)[:-1]])
+        j = np.arange(total, dtype=np.int64) - np.repeat(exp_starts, fanout)
+        # expansion code table: [symbol, j] -> exact code
+        max_fan = alphabet.max_expansion
+        exp_table = np.zeros((len(alphabet.ambig_expansions), max_fan), dtype=np.uint64)
+        for si, e in enumerate(alphabet.ambig_expansions):
+            exp_table[si, : len(e)] = e
+        codes_rep = exp_table[np.repeat(sym, fanout), j]
+        amb_keys = base_keys[w_rep] + codes_rep * mult[p_rep - w_rep]
+        amb_read = win_read[w_rep]
+        # per-read processing order: windows in order, expansion order within
+        first_of_read = np.zeros(total, dtype=bool)
+        first_of_read[0] = True
+        first_of_read[1:] = amb_read[1:] != amb_read[:-1]
+        idx = np.arange(total, dtype=np.int64)
+        read_start = np.maximum.accumulate(np.where(first_of_read, idx, 0))
+        amb_order = (idx - read_start).astype(np.int32)
+    else:
+        amb_keys = np.empty(0, np.uint64)
+        amb_read = np.empty(0, np.int32)
+        amb_order = np.empty(0, np.int32)
+
+    return BatchTokens(
+        num_reads=n,
+        num_windows=num_windows,
+        seq_lengths=seq_lengths,
+        exact_keys=exact_keys,
+        exact_read=exact_read.astype(np.int32),
+        amb_keys=amb_keys,
+        amb_read=amb_read.astype(np.int32),
+        amb_order=amb_order,
     )

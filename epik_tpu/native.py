@@ -1,0 +1,287 @@
+"""ctypes bindings for the native host library (native/epik_host.cpp).
+
+Loads ``libepik_host.so``, building it on demand with cmake (or a direct
+g++ fallback) the first time.  Every native entry point has a pure-Python
+equivalent -- the bindings are an acceleration, not a requirement:
+
+* :func:`native_tokenize_batch`  <->  core.kmers.tokenize_batch
+* :class:`NativeFastaReader`     <->  io.fasta.batch_fasta
+* :class:`NativeScalarPlacer`    <->  engine.reference.ReferencePlacer
+  (top-k scores only; used as the benchmark baseline and a third
+  implementation for differential testing)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .core.alphabet import Alphabet
+from .core.kmers import BatchTokens
+
+__all__ = [
+    "load_native",
+    "native_available",
+    "native_tokenize_batch",
+    "NativeFastaReader",
+    "NativeScalarPlacer",
+]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_BUILD_DIR = os.path.join(_REPO, "build")
+_LIB_PATHS = [
+    os.path.join(_BUILD_DIR, "libepik_host.so"),
+    os.path.join(_REPO, "native", "libepik_host.so"),
+]
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    src_dir = os.path.join(_REPO, "native")
+    try:
+        subprocess.run(
+            ["cmake", "-S", src_dir, "-B", _BUILD_DIR, "-DCMAKE_BUILD_TYPE=Release"],
+            check=True, capture_output=True, timeout=300,
+        )
+        subprocess.run(
+            ["cmake", "--build", _BUILD_DIR, "--parallel"],
+            check=True, capture_output=True, timeout=600,
+        )
+        return _LIB_PATHS[0]
+    except Exception:
+        pass
+    # direct g++ fallback
+    out = _LIB_PATHS[1]
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             os.path.join(src_dir, "epik_host.cpp"), "-o", out],
+            check=True, capture_output=True, timeout=600,
+        )
+        return out
+    except Exception:
+        return None
+
+
+def load_native(build_if_missing: bool = True):
+    """The loaded CDLL or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or (_tried and not build_if_missing):
+            return _lib
+        path = next((p for p in _LIB_PATHS if os.path.exists(p)), None)
+        if path is None and build_if_missing and not _tried:
+            path = _build()
+        _tried = True
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        _declare(lib)
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return load_native(build_if_missing=False) is not None
+
+
+c_i64p = ctypes.POINTER(ctypes.c_int64)
+c_charp = ctypes.POINTER(ctypes.c_char)
+
+
+def _declare(lib) -> None:
+    lib.eh_fasta_open.restype = ctypes.c_void_p
+    lib.eh_fasta_open.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.eh_fasta_close.argtypes = [ctypes.c_void_p]
+    lib.eh_fasta_bytes_read.restype = ctypes.c_long
+    lib.eh_fasta_bytes_read.argtypes = [ctypes.c_void_p]
+    lib.eh_fasta_next.restype = ctypes.c_long
+    lib.eh_fasta_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(c_charp), ctypes.POINTER(c_i64p),
+        ctypes.POINTER(c_charp), ctypes.POINTER(c_i64p),
+    ]
+    lib.eh_tokenize.restype = ctypes.c_void_p
+    lib.eh_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int,
+    ]
+    lib.eh_tokens_sizes.argtypes = [ctypes.c_void_p, c_i64p, c_i64p]
+    lib.eh_tokens_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.eh_tokens_free.argtypes = [ctypes.c_void_p]
+    lib.eh_scalar_db_new.restype = ctypes.c_void_p
+    lib.eh_scalar_db_new.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_float,
+    ]
+    lib.eh_scalar_db_free.argtypes = [ctypes.c_void_p]
+    lib.eh_place_scalar.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+
+
+def _np_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def _alphabet_tables(alphabet: Alphabet):
+    n_sym = len(alphabet.ambig_expansions)
+    max_fan = alphabet.max_expansion
+    exp_table = np.zeros((max(n_sym, 1), max_fan), dtype=np.uint8)
+    exp_len = np.zeros(max(n_sym, 1), dtype=np.uint8)
+    for i, e in enumerate(alphabet.ambig_expansions):
+        exp_table[i, : len(e)] = e
+        exp_len[i] = len(e)
+    return np.ascontiguousarray(alphabet.char_code, dtype=np.uint8), exp_table, exp_len
+
+
+def native_tokenize_batch(seqs: list[bytes], k: int, alphabet: Alphabet) -> BatchTokens:
+    """C++ tokenizer with the same output contract as tokenize_batch."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    n = len(seqs)
+    seq_lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(seqs), dtype=np.uint8) if n else np.empty(0, np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(seq_lengths)]).astype(np.int64)
+    char_code, exp_table, exp_len = _alphabet_tables(alphabet)
+    h = lib.eh_tokenize(
+        _np_ptr(np.ascontiguousarray(buf)), _np_ptr(offsets), n, k,
+        alphabet.sigma, _np_ptr(char_code), _np_ptr(exp_table), _np_ptr(exp_len),
+        exp_table.shape[1],
+    )
+    try:
+        n_exact = ctypes.c_int64()
+        n_amb = ctypes.c_int64()
+        lib.eh_tokens_sizes(h, ctypes.byref(n_exact), ctypes.byref(n_amb))
+        ek = np.empty(n_exact.value, np.uint64)
+        er = np.empty(n_exact.value, np.int32)
+        ak = np.empty(n_amb.value, np.uint64)
+        ar = np.empty(n_amb.value, np.int32)
+        ao = np.empty(n_amb.value, np.int32)
+        lib.eh_tokens_fill(h, _np_ptr(ek), _np_ptr(er), _np_ptr(ak), _np_ptr(ar), _np_ptr(ao))
+    finally:
+        lib.eh_tokens_free(h)
+    return BatchTokens(
+        num_reads=n,
+        num_windows=np.maximum(seq_lengths - k + 1, 0),
+        seq_lengths=seq_lengths,
+        exact_keys=ek, exact_read=er,
+        amb_keys=ak, amb_read=ar, amb_order=ao,
+    )
+
+
+class NativeFastaReader:
+    """C++ FASTA batch reader with the batch_fasta surface."""
+
+    def __init__(self, path: str, batch_size: int = 2000):
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native library not available")
+        self._lib = lib
+        self._h = lib.eh_fasta_open(os.fspath(path).encode(), batch_size)
+        if not self._h:
+            raise FileNotFoundError(path)
+
+    def bytes_read(self) -> int:
+        return int(self._lib.eh_fasta_bytes_read(self._h))
+
+    def next_batch(self) -> list[tuple[str, bytes]]:
+        sb = c_charp()
+        so = c_i64p()
+        hb = c_charp()
+        ho = c_i64p()
+        n = self._lib.eh_fasta_next(
+            self._h, ctypes.byref(sb), ctypes.byref(so), ctypes.byref(hb), ctypes.byref(ho)
+        )
+        out = []
+        for i in range(n):
+            s = ctypes.string_at(ctypes.addressof(sb.contents) + so[i], so[i + 1] - so[i])
+            hdr = ctypes.string_at(ctypes.addressof(hb.contents) + ho[i], ho[i + 1] - ho[i])
+            out.append((hdr.decode("utf-8", "replace"), s))
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.eh_fasta_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeScalarPlacer:
+    """C++ faithful scalar scoring (top-K edges/scores/counts per read).
+
+    The benchmark baseline: the reference's algorithm at native speed,
+    single thread, mirroring epik/src/epik/place.cpp:320-440.
+    """
+
+    def __init__(self, db, keep_at_most: int = 7):
+        from .core.scoring import score_threshold
+        from .core.alphabet import get_alphabet
+
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native library not available")
+        self._lib = lib
+        self.db = db
+        self.K = keep_at_most
+        self.alphabet = get_alphabet(db.sequence_type)
+        # keep arrays referenced: the C side stores raw pointers
+        self._keys = np.ascontiguousarray(db.keys, dtype=np.uint64)
+        self._row_off = np.ascontiguousarray(db.row_off, dtype=np.int64)
+        self._branches = np.ascontiguousarray(db.branches, dtype=np.uint32)
+        self._scores = np.ascontiguousarray(db.scores, dtype=np.float32)
+        from .core.tree import parse_newick
+
+        self.B = parse_newick(db.tree()).get_node_count()
+        thr = np.float32(score_threshold(db.omega, db.kmer_size, self.alphabet.sigma))
+        self._h = lib.eh_scalar_db_new(
+            _np_ptr(self._keys), self._keys.shape[0], _np_ptr(self._row_off),
+            _np_ptr(self._branches), _np_ptr(self._scores), self.B,
+            db.kmer_size, ctypes.c_float(float(thr)),
+        )
+
+    def place_scores(self, seqs: list[bytes]):
+        """Returns (edges, scores, counts, n_touched) arrays of shape
+        (n, K) / (n,). Uses the native tokenizer."""
+        k = self.db.kmer_size
+        t = native_tokenize_batch(seqs, k, self.alphabet)
+        n = len(seqs)
+        # size_t semantics: negative int64 -> uint64 two's-complement wrap
+        m = (t.seq_lengths - k + 1).astype(np.int64).view(np.uint64)
+        edges = np.empty((n, self.K), np.int32)
+        scores = np.empty((n, self.K), np.float32)
+        counts = np.empty((n, self.K), np.int64)
+        n_touched = np.empty(n, np.int32)
+        self._lib.eh_place_scalar(
+            self._h, n, _np_ptr(np.ascontiguousarray(m)),
+            _np_ptr(t.exact_keys), _np_ptr(t.exact_read), t.exact_keys.shape[0],
+            _np_ptr(t.amb_keys), _np_ptr(t.amb_read), _np_ptr(t.amb_order),
+            t.amb_keys.shape[0], self.K,
+            _np_ptr(edges), _np_ptr(scores), _np_ptr(counts), _np_ptr(n_touched),
+        )
+        return edges, scores, counts, n_touched
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.eh_scalar_db_free(self._h)
+        except Exception:
+            pass

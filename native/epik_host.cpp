@@ -1,0 +1,403 @@
+// EPIK-TPU native host library.
+//
+// C++ implementations of the host-side runtime around the TPU compute path:
+//   1. a buffered FASTA batch reader       (re-provides i2l::io::batch_fasta,
+//      reference: epik/src/epik/main.cpp:332-358)
+//   2. a k-mer window tokenizer with the one-ambiguity policy
+//      (re-provides i2l::to_kmers<one_ambiguity_policy>,
+//      reference: epik/src/epik/place.cpp:294-314)
+//   3. a faithful scalar placer -- the reference algorithm
+//      (reference: epik/src/epik/place.cpp:320-440) in single-thread C++,
+//      used as the self-measured performance baseline (the reference binary
+//      itself cannot be built here: its i2l submodule is empty) and as a
+//      third implementation for differential testing.
+//
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (epik_tpu/native.py); all buffers are caller-owned numpy arrays except
+// where a result struct is returned and released with eh_free.
+//
+// Build: cmake -S native -B build && cmake --build build  (see CMakeLists.txt)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#define EH_API extern "C" __attribute__((visibility("default")))
+
+// ---------------------------------------------------------------------------
+// 1. FASTA batch reader
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FastaReader {
+    FILE* f = nullptr;
+    long batch_size = 0;
+    long bytes_read = 0;
+    std::string pending_header;
+    bool have_pending = false;
+    bool eof = false;
+
+    // per-batch arenas (stable until the next next_batch call)
+    std::string seq_buf;
+    std::string hdr_buf;
+    std::vector<int64_t> seq_off;  // n+1
+    std::vector<int64_t> hdr_off;  // n+1
+};
+
+}  // namespace
+
+EH_API void* eh_fasta_open(const char* path, long batch_size) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    auto* r = new FastaReader();
+    r->f = f;
+    r->batch_size = batch_size;
+    return r;
+}
+
+EH_API void eh_fasta_close(void* handle) {
+    auto* r = static_cast<FastaReader*>(handle);
+    if (r) {
+        if (r->f) std::fclose(r->f);
+        delete r;
+    }
+}
+
+EH_API long eh_fasta_bytes_read(void* handle) {
+    return static_cast<FastaReader*>(handle)->bytes_read;
+}
+
+// Reads up to batch_size records. Returns the record count (0 at EOF) and
+// exposes arena pointers valid until the next call.
+EH_API long eh_fasta_next(void* handle, const char** seq_buf,
+                          const int64_t** seq_off, const char** hdr_buf,
+                          const int64_t** hdr_off) {
+    auto* r = static_cast<FastaReader*>(handle);
+    r->seq_buf.clear();
+    r->hdr_buf.clear();
+    r->seq_off.assign(1, 0);
+    r->hdr_off.assign(1, 0);
+    long n = 0;
+    if (!r->eof) {
+        std::string header = r->have_pending ? r->pending_header : std::string();
+        bool have_header = r->have_pending;
+        r->have_pending = false;
+
+        auto emit = [&]() {
+            r->hdr_buf += header;
+            r->hdr_off.push_back((int64_t)r->hdr_buf.size());
+            r->seq_off.push_back((int64_t)r->seq_buf.size());
+            ++n;
+        };
+
+        char* line = nullptr;
+        size_t cap = 0;
+        ssize_t len;
+        while ((len = getline(&line, &cap, r->f)) != -1) {
+            r->bytes_read += len;
+            // rstrip
+            while (len > 0 && (line[len - 1] == '\n' || line[len - 1] == '\r' ||
+                               line[len - 1] == ' ' || line[len - 1] == '\t'))
+                --len;
+            if (len == 0) continue;
+            if (line[0] == '>') {
+                if (have_header) {
+                    emit();
+                    if (n >= r->batch_size) {
+                        r->pending_header.assign(line + 1, len - 1);
+                        r->have_pending = true;
+                        break;
+                    }
+                }
+                header.assign(line + 1, len - 1);
+                have_header = true;
+            } else if (have_header) {
+                r->seq_buf.append(line, len);
+            }
+        }
+        if (len == -1) {
+            if (have_header) emit();
+            r->eof = true;
+        }
+        std::free(line);
+    }
+    *seq_buf = r->seq_buf.data();
+    *seq_off = r->seq_off.data();
+    *hdr_buf = r->hdr_buf.data();
+    *hdr_off = r->hdr_off.data();
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// 2. Batch tokenizer (one-ambiguity policy)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint8_t kInvalid = 0xFF;
+constexpr uint8_t kAmbigBase = 0x80;
+
+struct TokenResult {
+    std::vector<uint64_t> exact_keys;
+    std::vector<int32_t> exact_read;
+    std::vector<uint64_t> amb_keys;
+    std::vector<int32_t> amb_read;
+    std::vector<int32_t> amb_order;
+};
+
+}  // namespace
+
+// Tokenize a batch given concatenated sequence bytes + offsets.
+//   char_code: uint8[256] alphabet table (see epik_tpu/core/alphabet.py)
+//   exp_table: uint8[n_sym * max_fan], exp_len: uint8[n_sym]
+// Returns an opaque result released with eh_tokens_free; array pointers and
+// lengths are fetched with eh_tokens_get.
+EH_API void* eh_tokenize(const uint8_t* buf, const int64_t* offsets,
+                         long n_reads, int k, int sigma,
+                         const uint8_t* char_code, const uint8_t* exp_table,
+                         const uint8_t* exp_len, int max_fan) {
+    auto* res = new TokenResult();
+    std::vector<uint64_t> mult((size_t)k);
+    mult[k - 1] = 1;
+    for (int j = k - 2; j >= 0; --j) mult[j] = mult[j + 1] * (uint64_t)sigma;
+
+    for (long r = 0; r < n_reads; ++r) {
+        const uint8_t* s = buf + offsets[r];
+        const int64_t L = offsets[r + 1] - offsets[r];
+        if (L < k) continue;
+        int32_t order = 0;
+        // rolling window state: counts of ambiguous/invalid chars in window
+        int amb_in_win = 0, inv_in_win = 0;
+        std::vector<uint8_t> codes((size_t)L);
+        for (int64_t i = 0; i < L; ++i) codes[i] = char_code[s[i]];
+        for (int64_t w = 0; w <= L - k; ++w) {
+            if (w == 0) {
+                for (int j = 0; j < k; ++j) {
+                    uint8_t c = codes[j];
+                    if (c == kInvalid) ++inv_in_win;
+                    else if (c >= kAmbigBase) ++amb_in_win;
+                }
+            } else {
+                uint8_t out = codes[w - 1], in = codes[w + k - 1];
+                if (out == kInvalid) --inv_in_win;
+                else if (out >= kAmbigBase) --amb_in_win;
+                if (in == kInvalid) ++inv_in_win;
+                else if (in >= kAmbigBase) ++amb_in_win;
+            }
+            if (inv_in_win > 0 || amb_in_win > 1) continue;
+            if (amb_in_win == 0) {
+                uint64_t key = 0;
+                for (int j = 0; j < k; ++j) key = key * sigma + codes[w + j];
+                res->exact_keys.push_back(key);
+                res->exact_read.push_back((int32_t)r);
+            } else {
+                // exactly one ambiguous position: expand
+                uint64_t base = 0;
+                int amb_pos = -1;
+                uint8_t sym = 0;
+                for (int j = 0; j < k; ++j) {
+                    uint8_t c = codes[w + j];
+                    if (c >= kAmbigBase) {
+                        amb_pos = j;
+                        sym = (uint8_t)(c - kAmbigBase);
+                        base = base * sigma;  // digit 0, patched below
+                    } else {
+                        base = base * sigma + c;
+                    }
+                }
+                const int fan = exp_len[sym];
+                for (int e = 0; e < fan; ++e) {
+                    uint64_t code = exp_table[sym * max_fan + e];
+                    res->amb_keys.push_back(base + code * mult[amb_pos]);
+                    res->amb_read.push_back((int32_t)r);
+                    res->amb_order.push_back(order++);
+                }
+            }
+        }
+    }
+    return res;
+}
+
+EH_API void eh_tokens_sizes(void* h, int64_t* n_exact, int64_t* n_amb) {
+    auto* res = static_cast<TokenResult*>(h);
+    *n_exact = (int64_t)res->exact_keys.size();
+    *n_amb = (int64_t)res->amb_keys.size();
+}
+
+EH_API void eh_tokens_fill(void* h, uint64_t* exact_keys, int32_t* exact_read,
+                           uint64_t* amb_keys, int32_t* amb_read,
+                           int32_t* amb_order) {
+    auto* res = static_cast<TokenResult*>(h);
+    auto cpy = [](auto& v, auto* dst) {
+        if (!v.empty()) std::memcpy(dst, v.data(), v.size() * sizeof(v[0]));
+    };
+    cpy(res->exact_keys, exact_keys);
+    cpy(res->exact_read, exact_read);
+    cpy(res->amb_keys, amb_keys);
+    cpy(res->amb_read, amb_read);
+    cpy(res->amb_order, amb_order);
+}
+
+EH_API void eh_tokens_free(void* h) { delete static_cast<TokenResult*>(h); }
+
+// ---------------------------------------------------------------------------
+// 3. Faithful scalar placer (baseline + third differential implementation)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Open-addressing hash map key -> row, mirroring the container role of the
+// reference's phylo_kmer_db hash map (SURVEY.md section 2.9).
+struct ScalarDB {
+    std::vector<uint64_t> slots_key;  // power-of-two table, EMPTY = ~0ull
+    std::vector<int64_t> slots_row;
+    uint64_t mask = 0;
+    const int64_t* row_off = nullptr;
+    const uint32_t* branches = nullptr;
+    const float* scores = nullptr;
+    int64_t n_branches = 0;
+    int k = 0;
+    float threshold = 0, log_threshold = 0;
+};
+
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xFF51AFD7ED558CCDull;
+    x ^= x >> 33;
+    x *= 0xC4CEB9FE1A85EC53ull;
+    x ^= x >> 33;
+    return x;
+}
+
+}  // namespace
+
+EH_API void* eh_scalar_db_new(const uint64_t* keys, int64_t n_keys,
+                              const int64_t* row_off, const uint32_t* branches,
+                              const float* scores, int64_t n_branches, int k,
+                              float threshold) {
+    auto* db = new ScalarDB();
+    uint64_t cap = 16;
+    while (cap < (uint64_t)n_keys * 2) cap <<= 1;
+    db->slots_key.assign(cap, ~0ull);
+    db->slots_row.assign(cap, -1);
+    db->mask = cap - 1;
+    for (int64_t i = 0; i < n_keys; ++i) {
+        uint64_t h = mix64(keys[i]) & db->mask;
+        while (db->slots_key[h] != ~0ull) h = (h + 1) & db->mask;
+        db->slots_key[h] = keys[i];
+        db->slots_row[h] = i;
+    }
+    db->row_off = row_off;
+    db->branches = branches;
+    db->scores = scores;
+    db->n_branches = n_branches;
+    db->k = k;
+    db->threshold = threshold;
+    db->log_threshold = std::log10(threshold);
+    return db;
+}
+
+EH_API void eh_scalar_db_free(void* h) { delete static_cast<ScalarDB*>(h); }
+
+static inline int64_t db_find(const ScalarDB* db, uint64_t key) {
+    uint64_t h = mix64(key) & db->mask;
+    while (true) {
+        if (db->slots_key[h] == key) return db->slots_row[h];
+        if (db->slots_key[h] == ~0ull) return -1;
+        h = (h + 1) & db->mask;
+    }
+}
+
+// Place a batch, writing top-K (edge, score, count) per read.
+// Inputs are the tokenizer outputs for the batch plus per-read m (size_t
+// semantics as uint64). Outputs: out_edges/out_scores/out_counts[(read,K)],
+// out_n[read] = number of touched branches (0 => caller fabricates the
+// fallback, quirk Q2).
+EH_API void eh_place_scalar(void* dbh, long n_reads, const uint64_t* m_per_read,
+                            const uint64_t* exact_keys, const int32_t* exact_read,
+                            int64_t n_exact, const uint64_t* amb_keys,
+                            const int32_t* amb_read, const int32_t* amb_order,
+                            int64_t n_amb, int K, int32_t* out_edges,
+                            float* out_scores, int64_t* out_counts,
+                            int32_t* out_n) {
+    (void)amb_order;  // stream is already in processing order per read
+    auto* db = static_cast<ScalarDB*>(dbh);
+    const int64_t B = db->n_branches;
+    std::vector<float> S((size_t)B, 0.f), S_amb((size_t)B, 0.f);
+    std::vector<int64_t> C((size_t)B, 0), C_amb((size_t)B, 0);
+    std::vector<int32_t> edges;
+
+    int64_t ei = 0, ai = 0;
+    for (long r = 0; r < n_reads; ++r) {
+        // reset touched entries only (reference: place.cpp:335-342, quirk Q11)
+        for (int32_t e : edges) {
+            S[e] = 0.f;
+            S_amb[e] = 0.f;
+            C[e] = 0;
+            C_amb[e] = 0;
+        }
+        edges.clear();
+
+        // exact accumulation (place.cpp:349-371)
+        for (; ei < n_exact && exact_read[ei] == r; ++ei) {
+            int64_t row = db_find(db, exact_keys[ei]);
+            if (row < 0) continue;
+            for (int64_t p = db->row_off[row]; p < db->row_off[row + 1]; ++p) {
+                uint32_t b = db->branches[p];
+                if (C[b] == 0) edges.push_back((int32_t)b);
+                ++C[b];
+                S[b] += db->scores[p];
+            }
+        }
+        // ambiguous accumulation (place.cpp:373-415, quirks Q6/Q7)
+        std::vector<int32_t> l_amb;
+        for (; ai < n_amb && amb_read[ai] == r; ++ai) {
+            int64_t row = db_find(db, amb_keys[ai]);
+            if (row < 0) continue;
+            l_amb.clear();
+            for (int64_t p = db->row_off[row]; p < db->row_off[row + 1]; ++p) {
+                uint32_t b = db->branches[p];
+                if (C_amb[b] == 0) l_amb.push_back((int32_t)b);
+                ++C_amb[b];
+                S_amb[b] += (float)std::pow(10.0, (double)db->scores[p]);
+            }
+            const float w_size = (float)db->k;
+            for (int32_t b : l_amb) {
+                float avg = (S_amb[b] + (float)(db->k - C_amb[b]) * db->threshold) / w_size;
+                if (C[b] == 0) edges.push_back(b);
+                ++C[b];
+                S[b] += avg;
+            }
+        }
+        // correction (place.cpp:417-422) with size_t wraparound semantics
+        const uint64_t m = m_per_read[r];
+        for (int32_t e : edges) {
+            uint64_t diff = m - (uint64_t)C[e];
+            S[e] += (float)diff * db->log_threshold;
+            S[e] /= (float)db->k;
+        }
+        // top-K by score (partial_sort desc, place.cpp:153-156)
+        std::vector<int32_t> order(edges);
+        const size_t keep = std::min((size_t)K, order.size());
+        std::partial_sort(order.begin(), order.begin() + keep, order.end(),
+                          [&](int32_t a, int32_t b) { return S[a] > S[b]; });
+        out_n[r] = (int32_t)edges.size();
+        for (size_t j = 0; j < (size_t)K; ++j) {
+            if (j < keep) {
+                out_edges[r * K + j] = order[j];
+                out_scores[r * K + j] = S[order[j]];
+                out_counts[r * K + j] = C[order[j]];
+            } else {
+                out_edges[r * K + j] = -1;
+                out_scores[r * K + j] = 0.f;
+                out_counts[r * K + j] = 0;
+            }
+        }
+    }
+}

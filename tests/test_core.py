@@ -191,3 +191,52 @@ class TestScoring:
     def test_threshold_amino(self):
         eps = score_threshold(1.5, 8, 20)
         np.testing.assert_allclose(eps, (1.5 / 20) ** 8)
+
+
+class TestBatchTokenizerDifferential:
+    """Single-pass vectorized tokenizer vs the per-read specification."""
+
+    def _check(self, seqs, k, alphabet):
+        from epik_tpu.core.kmers import tokenize_batch, tokenize_batch_slow
+
+        fast = tokenize_batch(seqs, k, alphabet)
+        slow = tokenize_batch_slow(seqs, k, alphabet)
+        np.testing.assert_array_equal(fast.num_windows, slow.num_windows)
+        np.testing.assert_array_equal(fast.seq_lengths, slow.seq_lengths)
+        np.testing.assert_array_equal(fast.exact_keys, slow.exact_keys)
+        np.testing.assert_array_equal(fast.exact_read, slow.exact_read)
+        np.testing.assert_array_equal(fast.amb_keys, slow.amb_keys)
+        np.testing.assert_array_equal(fast.amb_read, slow.amb_read)
+        np.testing.assert_array_equal(fast.amb_order, slow.amb_order)
+
+    def test_mixed_batch(self):
+        self._check(
+            [b"ACGTACGT", b"AC", b"", b"ANGT", b"NNNN", b"ACG-TACG", b"TTTT"],
+            3, DNA,
+        )
+
+    def test_random_batches(self):
+        rng = np.random.default_rng(99)
+        letters = np.frombuffer(b"ACGTNRYWSKM-XU", dtype=np.uint8)
+        for trial in range(10):
+            k = int(rng.integers(2, 9))
+            seqs = []
+            for _ in range(rng.integers(1, 30)):
+                L = int(rng.integers(0, 40))
+                seqs.append(letters[rng.integers(0, len(letters), L)].tobytes())
+            self._check(seqs, k, DNA)
+
+    def test_amino_batch(self):
+        self._check([b"ACDEFGHIKL", b"ABZJX", b"XX", b"ACDEF"], 3, AMINO)
+
+    def test_k1(self):
+        self._check([b"ACGT", b"NN"], 1, DNA)
+
+    def test_single_read(self):
+        self._check([b"ACGTNACGT"], 4, DNA)
+
+    def test_empty_reads_and_boundaries(self):
+        self._check([b"", b"ACGT", b""], 3, DNA)
+        self._check([b"", b"", b""], 3, DNA)
+        self._check([b"ACGT", b""], 1, DNA)
+        self._check([b"", b"A", b"", b"CG", b""], 1, DNA)
