@@ -176,39 +176,38 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
 
     bar = ProgressBar(total_fasta_size)
     begin = time.monotonic()
-    num_seq_placed = 0
-    average_speed = 0.0
-    num_iterations = 0
 
-    reader = batch_fasta(input_file, batch_size)
-    while True:
-        batch = reader.next_batch()
-        if not batch:
-            break
-        begin_batch = time.monotonic()
-        placed_batch = placer.place(batch)
-        ms_diff = max((time.monotonic() - begin_batch) * 1000.0, 1.0)
-        seq_per_second = 1000.0 * batch_size / ms_diff
-        average_speed += seq_per_second
+    # prefer the native C++ FASTA reader when the library is built
+    reader = None
+    try:
+        from ..native import NativeFastaReader, native_available
+
+        if native_available():
+            reader = NativeFastaReader(input_file, batch_size)
+    except Exception:
+        reader = None
+    if reader is None:
+        reader = batch_fasta(input_file, batch_size)
+
+    def progress(seq_per_second, num_seq_placed, bytes_read):
         bar.update(
-            reader.bytes_read(),
+            bytes_read,
             prefix=f"{to_human_readable(seq_per_second)} seq/s ",
             postfix=f"{num_seq_placed} / ?",
         )
-        writer << placed_batch
-        num_seq_placed += len(batch)
-        num_iterations += 1
+
+    from ..engine.pipeline import run_pipeline
+
+    stats = run_pipeline(placer, reader, writer, progress=progress)
     writer.end()
 
-    if num_iterations:
-        average_speed /= num_iterations
     bar.update(reader.bytes_read(), prefix="Done. ",
-               postfix=to_human_readable(num_seq_placed))
+               postfix=to_human_readable(stats.num_seq_placed))
     bar.finish()
 
     click.echo(
-        f"Placed {num_seq_placed} sequences.\n"
-        f"Average speed: {to_human_readable(average_speed)} seq/s."
+        f"Placed {stats.num_seq_placed} sequences.\n"
+        f"Average speed: {to_human_readable(stats.average_speed)} seq/s."
     )
     click.echo(f"Output: {jplace_filename}")
     placement_time = int((time.monotonic() - begin) * 1000)

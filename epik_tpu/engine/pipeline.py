@@ -1,0 +1,89 @@
+"""Double-buffered host pipeline for the batch loop.
+
+The reference's loop is fully synchronous: read batch -> place -> write
+(reference: epik/src/epik/main.cpp:332-365; a ``<future>`` include and
+``is_busy`` helper exist but are dead code, main.cpp:4,39-43).  Here three
+stages overlap:
+
+  reader thread:   FASTA parse of batch N+2           (io/fasta.py or native)
+  main thread:     tokenize + dispatch batch N+1      (placer.place_async)
+  device:          computes batch N                   (async XLA dispatch)
+  main thread:     fetch + assemble + write batch N   (placer.place_wait)
+
+With a placer exposing only synchronous ``place`` (the scalar oracle), the
+pipeline degrades gracefully to read-ahead only.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+
+__all__ = ["run_pipeline", "PipelineStats"]
+
+
+class PipelineStats:
+    def __init__(self):
+        self.num_seq_placed = 0
+        self.num_iterations = 0
+        self.average_speed = 0.0
+        self.wall_seconds = 0.0
+
+
+def _reader_thread(reader, q: queue.Queue, depth: int):
+    try:
+        while True:
+            batch = reader.next_batch()
+            q.put(batch)
+            if not batch:
+                return
+    except BaseException as e:  # propagate to consumer
+        q.put(e)
+
+
+def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> PipelineStats:
+    """Stream all batches from ``reader`` through ``placer`` into ``writer``.
+
+    ``progress(seq_per_second, num_seq_placed, bytes_read)`` is called per
+    batch (the reference's meter, main.cpp:347-358).
+    """
+    stats = PipelineStats()
+    q: queue.Queue = queue.Queue(maxsize=read_ahead)
+    t = threading.Thread(target=_reader_thread, args=(reader, q, read_ahead), daemon=True)
+    t.start()
+
+    has_async = hasattr(placer, "place_async")
+    begin = time.monotonic()
+    pending = None  # (pending_handle_or_result, batch_size, t_start)
+
+    def flush(p):
+        handle, bsize, t_start = p
+        placed = placer.place_wait(handle) if has_async else handle
+        ms = max((time.monotonic() - t_start) * 1000.0, 1.0)
+        writer << placed
+        seq_per_second = 1000.0 * bsize / ms
+        stats.average_speed += seq_per_second
+        stats.num_seq_placed += bsize
+        stats.num_iterations += 1
+        if progress is not None:
+            progress(seq_per_second, stats.num_seq_placed, reader.bytes_read())
+
+    while True:
+        batch = q.get()
+        if isinstance(batch, BaseException):
+            raise batch
+        if not batch:
+            break
+        t_start = time.monotonic()
+        handle = placer.place_async(batch) if has_async else placer.place(batch)
+        if pending is not None:
+            flush(pending)
+        pending = (handle, len(batch), t_start)
+    if pending is not None:
+        flush(pending)
+
+    if stats.num_iterations:
+        stats.average_speed /= stats.num_iterations
+    stats.wall_seconds = time.monotonic() - begin
+    return stats

@@ -64,6 +64,10 @@ class PlacerConfig:
     budget_headroom: float = 2.0
     #: minimum padded stream size (keeps zero-size arrays out of XLA)
     min_bucket: int = 16
+    #: exact-path accumulation: "matmul" = Pallas one-hot MXU kernel (the
+    #: fast path; duplicate-index scatter serializes on TPU), "scatter" =
+    #: plain XLA scatter-add, "auto" = matmul on TPU, scatter elsewhere
+    accumulate: str = "auto"
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -73,7 +77,7 @@ def _bucket(n: int, lo: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R", "B", "K", "P", "PA", "k", "seed1", "seed2"),
+    static_argnames=("R", "B", "K", "P", "PA", "k", "seed1", "seed2", "dense", "interpret"),
 )
 def _place_batch_device(
     table,
@@ -98,12 +102,26 @@ def _place_batch_device(
     seed2: int,
     log_eps,
     eps,
+    dense: bool = False,
+    interpret: bool = False,
 ):
-    """One fused batch placement step (single device)."""
-    S, C, e_total = accumulate_exact(
-        table, db_branches, db_scores, e_hi, e_lo, e_read,
-        R=R, B=B, P=P, seed1=seed1, seed2=seed2,
-    )
+    """One fused batch placement step (single device).
+
+    ``dense``: exact-path accumulation via the Pallas matmul kernel with
+    per-read posting budget P; otherwise XLA scatter-add with flat posting
+    budget P.  The overflow scalar returned as e_total is max-postings-per-
+    read (dense) or total postings (flat) accordingly.
+    """
+    if dense:
+        S, C, e_total = accumulate_exact_dense(
+            table, db_branches, db_scores, e_hi, e_lo, e_read,
+            R=R, B=B, PP=P, seed1=seed1, seed2=seed2, interpret=interpret,
+        )
+    else:
+        S, C, e_total = accumulate_exact(
+            table, db_branches, db_scores, e_hi, e_lo, e_read,
+            R=R, B=B, P=P, seed1=seed1, seed2=seed2,
+        )
     first, V, a_total = accumulate_amb_firsthit(
         table, db_branches, db_scores, a_hi, a_lo, a_read, a_order,
         R=R, B=B, PA=PA, k=k, seed1=seed1, seed2=seed2, eps=eps,
@@ -116,6 +134,60 @@ def _place_batch_device(
 
 #: "no ambiguous hit" marker for the first-order matrix
 _ORDER_INF = 2**31 - 1
+
+
+def accumulate_exact_dense(table, db_branches, db_scores, e_hi, e_lo, e_read, *,
+                           R, B, PP, seed1, seed2, tr=8, ch=512, interpret=False):
+    """Exact path via per-read padded tiles + the Pallas matmul kernel.
+
+    Replaces the scatter-add of :func:`accumulate_exact` (duplicate-index
+    scatter serializes on TPU).  Layout construction uses only gathers, one
+    tiny window-level scatter-max, and a row-wise cummax:
+
+      1. per-window posting starts within the read (cumsum differences),
+      2. mark each window's first cell in the (R_pad, PP) grid, cummax along
+         the row to get cell->window, cell->element,
+      3. gather branch/score per cell; invalid cells -> trash column,
+      4. Pallas digit-decomposed one-hot matmul accumulate.
+
+    Returns (S[R,B], C[R,B], max_count) -- retry with a larger PP when
+    max_count > PP.
+    """
+    from ..ops.pallas.accumulate import segment_accumulate, trash_branch
+
+    f32 = jnp.float32
+    _, e_off, e_len = lookup(table, seed1, seed2, e_hi, e_lo)
+    lens = e_len.astype(jnp.int32)
+    E = lens.shape[0]
+    r_pad = -(-max(R, 1) // tr) * tr
+
+    g = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(lens)])  # (E+1,)
+    # first window index of each read (e_read sorted; padding windows use R)
+    first_win = jnp.searchsorted(e_read, jnp.arange(R + 1, dtype=e_read.dtype))
+    read_start = g[first_win]  # (R+1,)
+    counts = read_start[1:] - read_start[:-1]  # postings per read
+    max_count = jnp.max(counts) if R > 0 else jnp.int32(0)
+    wstart = g[:-1] - read_start[jnp.clip(e_read, 0, R)]  # per-window col
+
+    win_ids = jnp.arange(1, E + 1, dtype=jnp.int32)
+    flat_pos = e_read.astype(jnp.int32) * PP + wstart
+    droppable = (lens > 0) & (e_read < R) & (wstart < PP)
+    pos = jnp.where(droppable, flat_pos, r_pad * PP)
+    mark = jnp.zeros(r_pad * PP, jnp.int32).at[pos].max(win_ids, mode="drop")
+    win = jax.lax.cummax(mark.reshape(r_pad, PP), axis=1) - 1
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r_pad, PP), 1)
+    counts_pad = jnp.zeros(r_pad, jnp.int32).at[: R].set(counts.astype(jnp.int32))
+    valid = (col < counts_pad[:, None]) & (win >= 0)
+    sw = jnp.maximum(win, 0)
+    elem = col - wstart[sw]
+    p_idx = jnp.clip(e_off[sw].astype(jnp.int32) + elem, 0, db_branches.shape[0] - 1)
+    trash = trash_branch(B)
+    b_pad = jnp.where(valid, db_branches[p_idx], jnp.int32(trash))
+    s_pad = jnp.where(valid, db_scores[p_idx], f32(0))
+
+    S, C = segment_accumulate(b_pad, s_pad, B, tr=tr, ch=ch, interpret=interpret)
+    return S[:R], C[:R], max_count
 
 
 def accumulate_exact(table, db_branches, db_scores, e_hi, e_lo, e_read, *,
@@ -221,6 +293,18 @@ def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
     )
 
 
+@dataclasses.dataclass
+class _Pending:
+    """In-flight batch: device arrays dispatched, results not yet fetched."""
+
+    sequence_map: dict
+    seqs: list
+    m_signed: object
+    out: tuple | None
+    budgets: tuple | None
+    redo: tuple | None
+
+
 class JaxPlacer:
     """Single-device TPU placer with the reference's ``place(batch)`` surface
     (reference: epik/src/epik/main.cpp:295,344)."""
@@ -261,6 +345,11 @@ class JaxPlacer:
         self._avg_plen = float(lens.mean()) if lens.size else 1.0
         self._max_plen = int(lens.max()) if lens.size else 0
 
+        mode = self.config.accumulate
+        backend = jax.default_backend()
+        self._dense = mode == "matmul" or (mode == "auto" and backend == "tpu")
+        self._interpret = backend != "tpu"  # Pallas interpret mode off-TPU
+
     # -- host-side batch staging ----------------------------------------------
 
     @staticmethod
@@ -278,6 +367,18 @@ class JaxPlacer:
         return padded
 
     def place(self, records: list[tuple[str, bytes]]) -> PlacedCollection:
+        """Synchronous place (reference surface: place.cpp:201)."""
+        return self.place_wait(self.place_async(records))
+
+    def place_async(self, records: list[tuple[str, bytes]]):
+        """Tokenize + dispatch the device step WITHOUT blocking on results.
+
+        JAX dispatch is asynchronous: the returned pending handle carries
+        device arrays still being computed.  This enables the double-buffered
+        batch loop (engine/pipeline.py) that the reference lacks -- its loop
+        is fully synchronous (reference: main.cpp:332-365, dead is_busy
+        helper main.cpp:39-43; SURVEY.md "Pipeline overlap (degenerate)").
+        """
         cfg = self.config
         # dedup by content (quirk Q8; reference: place.cpp:73-81,207)
         sequence_map: dict[bytes, list[str]] = {}
@@ -286,7 +387,7 @@ class JaxPlacer:
         seqs = list(sequence_map.keys())
         R = len(seqs)
         if R == 0:
-            return PlacedCollection(sequence_map={}, placed_seqs=[])
+            return _Pending(sequence_map, [], None, None, None, None)
 
         tokens = tokenize_batch(seqs, self.k, self.alphabet)
         # the correction term uses the size_t-wrapped window count (quirk Q1);
@@ -307,46 +408,73 @@ class JaxPlacer:
         a_order = self._pad_i32(tokens.amb_order, A, 2**31 - 1)
 
         est = max(1, int(self._avg_plen * cfg.budget_headroom))
-        P = _bucket(tokens.exact_keys.shape[0] * est, cfg.min_bucket)
+        if self._dense:
+            # per-read posting budget for the padded-tile kernel
+            wpr = int(np.bincount(tokens.exact_read, minlength=R).max()) if tokens.exact_read.size else 1
+            P = _bucket(wpr * est, max(cfg.min_bucket, 512))
+        else:
+            P = _bucket(tokens.exact_keys.shape[0] * est, cfg.min_bucket)
         PA = _bucket(tokens.amb_keys.shape[0] * est, cfg.min_bucket)
         # lax.top_k needs K <= B; tiny trees report at most B branches anyway
         K = min(cfg.keep_at_most, self.B)
 
+        inputs = (
+            e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
+        )
+        out = self._dispatch(inputs, R, K, P, PA)
+        return _Pending(sequence_map, seqs, m_signed, out, (P, PA), (inputs, R, K))
+
+    def _dispatch(self, inputs, R, K, P, PA):
+        e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32 = inputs
+        return _place_batch_device(
+            self._dev_table,
+            self._dev_branches,
+            self._dev_scores,
+            jnp.asarray(e_hi),
+            jnp.asarray(e_lo),
+            jnp.asarray(e_read),
+            jnp.asarray(a_hi),
+            jnp.asarray(a_lo),
+            jnp.asarray(a_read),
+            jnp.asarray(a_order),
+            jnp.asarray(m_f32),
+            R=R,
+            B=self.B,
+            K=K,
+            P=P,
+            PA=PA,
+            k=self.k,
+            seed1=self.table.seed1,
+            seed2=self.table.seed2,
+            log_eps=float(self.log_eps),
+            eps=float(self.eps),
+            dense=self._dense,
+            interpret=self._interpret,
+        )
+
+    def place_wait(self, pending: "_Pending") -> PlacedCollection:
+        """Block on a pending batch, re-dispatching on budget overflow."""
+        if pending.out is None:
+            return PlacedCollection(sequence_map=pending.sequence_map, placed_seqs=[])
+        cfg = self.config
+        P, PA = pending.budgets
+        inputs, R, K = pending.redo
+        out = pending.out
         while True:
-            out = _place_batch_device(
-                self._dev_table,
-                self._dev_branches,
-                self._dev_scores,
-                e_hi,
-                e_lo,
-                jnp.asarray(e_read),
-                a_hi,
-                a_lo,
-                jnp.asarray(a_read),
-                jnp.asarray(a_order),
-                jnp.asarray(m_f32),
-                R=R,
-                B=self.B,
-                K=K,
-                P=P,
-                PA=PA,
-                k=self.k,
-                seed1=self.table.seed1,
-                seed2=self.table.seed2,
-                log_eps=float(self.log_eps),
-                eps=float(self.eps),
-            )
             (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_total, a_total) = [
                 np.asarray(x) for x in out
             ]
             if e_total <= P and a_total <= PA:
                 break
             # budget overflow: grow the static budget bucket and re-run
-            P = _bucket(int(e_total), cfg.min_bucket) if e_total > P else P
+            lo = max(cfg.min_bucket, 512) if self._dense else cfg.min_bucket
+            P = _bucket(int(e_total), lo) if e_total > P else P
             PA = _bucket(int(a_total), cfg.min_bucket) if a_total > PA else PA
+            out = self._dispatch(inputs, R, K, P, PA)
 
         return self._assemble(
-            seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K
+            pending.seqs, pending.sequence_map, pending.m_signed,
+            scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K,
         )
 
     def device_fn_args(self, records: list[tuple[str, bytes]]):

@@ -164,3 +164,84 @@ class TestRandomDifferential:
             for i in range(10)
         ]
         assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+
+class TestMatmulAccumulate:
+    """Pallas one-hot matmul accumulation path (interpret mode on CPU)."""
+
+    def test_segment_accumulate_kernel(self):
+        import jax.numpy as jnp
+
+        from epik_tpu.ops.pallas.accumulate import segment_accumulate, trash_branch
+
+        rng = np.random.default_rng(0)
+        R, PP, B = 8, 512, 300
+        trash = trash_branch(B)
+        b = rng.integers(0, B, size=(R, PP)).astype(np.int32)
+        s = rng.uniform(-2, 0, size=(R, PP)).astype(np.float32)
+        nvalid = rng.integers(0, PP, size=R)
+        for r in range(R):
+            b[r, nvalid[r]:] = trash
+            s[r, nvalid[r]:] = 0.0
+        S, C = segment_accumulate(jnp.asarray(b), jnp.asarray(s), B, interpret=True)
+        S, C = np.asarray(S), np.asarray(C)
+        for r in range(R):
+            expect_s = np.zeros(B, np.float32)
+            expect_c = np.zeros(B, np.int64)
+            for c in range(nvalid[r]):
+                expect_s[b[r, c]] += s[r, c]
+                expect_c[b[r, c]] += 1
+            np.testing.assert_allclose(S[r], expect_s, rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(C[r], expect_c)
+
+    def _matmul_placer(self, db, **kw):
+        from epik_tpu.core.tree import parse_newick
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        tree = parse_newick(db.tree())
+        cfg = PlacerConfig(accumulate="matmul")
+        return JaxPlacer(db, tree, config=cfg, **kw)
+
+    def test_matches_oracle(self):
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=23)
+        from epik_tpu.core.tree import parse_newick
+
+        ref = ReferencePlacer(db, parse_newick(db.tree()))
+        jax_p = self._matmul_placer(db)
+        rng = np.random.default_rng(24)
+        from epik_tpu.core.alphabet import DNA
+
+        recs = []
+        for i in range(20):
+            parts = [
+                DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                for _ in range(rng.integers(1, 6))
+            ]
+            recs.append((f"q{i}", "".join(parts).encode()))
+        recs += [("amb", b"ANGTCA"), ("nohit", b"TTTTTT"), ("short", b"AC")]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_pp_overflow_retry(self):
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=1024,
+                       mean_posting_len=24.0, seed=26)
+        from epik_tpu.core.tree import parse_newick
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        tree = parse_newick(db.tree())
+        cfg = PlacerConfig(accumulate="matmul", budget_headroom=0.01)
+        jax_p = JaxPlacer(db, tree, config=cfg)
+        ref = ReferencePlacer(db, tree)
+        rng = np.random.default_rng(27)
+        from epik_tpu.core.alphabet import DNA
+
+        recs = [
+            (
+                f"q{i}",
+                "".join(
+                    DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                    for _ in range(8)
+                ).encode(),
+            )
+            for i in range(6)
+        ]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
