@@ -216,5 +216,69 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
     return 0
 
 
+@epik.command()
+@click.argument("jplace1", type=click.Path(exists=True))
+@click.argument("jplace2", type=click.Path(exists=True))
+@click.option("--only-best", is_flag=True, default=False)
+def diff(jplace1, jplace2, only_best):
+    """Semantic diff of two jplace files (the parity oracle,
+    reference: scripts/jplace_diff.py)."""
+    from ..tools.jplace_diff import jplace_diff
+
+    res = jplace_diff(jplace1, jplace2, only_best=only_best)
+    for m in res.mismatches[:200]:
+        click.echo(m)
+    click.echo(f"\n{res.num_matches}/{res.num_seqs} placements match.")
+    if not res.clean:
+        raise SystemExit(1)
+
+
+@epik.command()
+@click.argument("src", type=click.Path(exists=True))
+@click.argument("dst", type=click.Path())
+def convert(src, dst):
+    """Convert a database between .ipk (reconstructed Boost layout,
+    UNVERIFIED -- see io/ipk_boost.py) and the native .eptk format."""
+    from ..io.db import load, save
+    from ..io.ipk_boost import UnverifiedFormatError, read_ipk, write_ipk
+
+    if src.endswith(".eptk"):
+        db = load(src)
+    else:
+        try:
+            db = read_ipk(src)
+        except UnverifiedFormatError as e:
+            click.echo(f"Error reading {src}: {e}", err=True)
+            click.echo(
+                "Note: the .ipk reader implements a reconstructed layout; the "
+                "i2l serialization source was unavailable. Re-export with IPK "
+                "or use .eptk.", err=True,
+            )
+            raise SystemExit(1)
+    if dst.endswith(".ipk"):
+        write_ipk(db, dst)
+    else:
+        save(db, dst)
+    click.echo(
+        f"Converted {src} -> {dst}: {db.num_kmers} k-mers, "
+        f"{db.num_entries} entries, k={db.kmer_size}, {db.sequence_type}"
+    )
+
+
+@epik.command()
+@click.option("--config", type=click.Path(exists=True), default=None,
+              help="JSON case config (default: built-in cases)")
+@click.option("--workdir", default="/tmp/epik_tpu_ppdiff")
+def ppdiff(config, workdir):
+    """Two-implementation differential harness
+    (the pattern of reference: scripts/ppdiff.py)."""
+    from ..tools.ppdiff import main as ppdiff_main
+
+    args = ["--workdir", workdir]
+    if config:
+        args += ["--config", config]
+    raise SystemExit(ppdiff_main(args))
+
+
 if __name__ == "__main__":
     epik()

@@ -461,9 +461,11 @@ class JaxPlacer:
         inputs, R, K = pending.redo
         out = pending.out
         while True:
-            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_total, a_total) = [
-                np.asarray(x) for x in out
-            ]
+            # one batched transfer: per-array np.asarray costs a full
+            # host<->device round trip EACH on remote-tunnel platforms
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_total, a_total) = (
+                jax.device_get(out)
+            )
             if e_total <= P and a_total <= PA:
                 break
             # budget overflow: grow the static budget bucket and re-run

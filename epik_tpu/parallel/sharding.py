@@ -271,9 +271,9 @@ class ShardedJaxPlacer:
                 stack(6), stack(7),
                 R=R, K=K, Pb=P_budget, PAb=PA_budget,
             )
-            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_tot, a_tot) = [
-                np.asarray(x) for x in out
-            ]
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_tot, a_tot) = (
+                jax.device_get(out)
+            )
             if e_tot.max() <= P_budget and a_tot.max() <= PA_budget:
                 break
             if e_tot.max() > P_budget:

@@ -128,3 +128,39 @@ class TestPlaceCommand:
         for flag in ("--database", "--states", "--omega", "--mu", "--max-ram",
                      "--keep-at-most", "--keep-factor", "--batch-size"):
             assert flag in result.output
+
+
+class TestSubcommands:
+    def test_convert_roundtrip(self, fixture_dir, tmp_path):
+        runner = CliRunner()
+        ipk = tmp_path / "db.ipk"
+        back = tmp_path / "back.eptk"
+        r1 = runner.invoke(epik, ["convert", str(fixture_dir / "DB.eptk"), str(ipk)])
+        assert r1.exit_code == 0, r1.output
+        r2 = runner.invoke(epik, ["convert", str(ipk), str(back)])
+        assert r2.exit_code == 0, r2.output
+        from epik_tpu.io.db import load
+
+        a, b = load(fixture_dir / "DB.eptk"), load(back)
+        np.testing.assert_array_equal(a.keys, b.keys)
+        np.testing.assert_array_equal(a.scores, b.scores)
+
+    def test_diff_command(self, fixture_dir):
+        runner = CliRunner()
+        out = fixture_dir / "od1"
+        out.mkdir(exist_ok=True)
+        r = runner.invoke(
+            epik,
+            ["place", "-i", str(fixture_dir / "DB.eptk"), "-o", str(out),
+             str(fixture_dir / "q.fasta")],
+        )
+        assert r.exit_code == 0
+        jp = str(out / "placements_q.fasta.jplace")
+        r = runner.invoke(epik, ["diff", jp, jp])
+        assert r.exit_code == 0
+        assert "30/30 placements match." in r.output
+
+    def test_ppdiff_command_help(self):
+        runner = CliRunner()
+        r = runner.invoke(epik, ["ppdiff", "--help"])
+        assert r.exit_code == 0
