@@ -68,6 +68,11 @@ class PlacerConfig:
     #: fast path; duplicate-index scatter serializes on TPU), "scatter" =
     #: plain XLA scatter-add, "auto" = matmul on TPU, scatter elsewhere
     accumulate: str = "auto"
+    #: dense-database mode: store the DB as dense (num_keys+1, B) score +
+    #: indicator planes so the hot loop is contiguous row gathers ("auto" =
+    #: on when the planes fit dense_db_budget bytes; "on"/"off" force)
+    dense_db: str = "auto"
+    dense_db_budget: int = 6 << 30
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -293,6 +298,105 @@ def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "seed1", "seed2"),
+)
+def _place_batch_device_densedb(
+    table,
+    plane_s,
+    plane_c,
+    e_hi,
+    e_lo,
+    a_hi,
+    a_lo,
+    m_f32,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    Wmax: int,
+    Amax: int,
+    k: int,
+    seed1: int,
+    seed2: int,
+    log_eps,
+    eps,
+):
+    """Dense-database placement step: the bandwidth-optimal TPU layout.
+
+    When (num_keys+1) x B fits the HBM budget, the database is stored as two
+    dense planes -- ``plane_s`` float32 scores (0 where a branch is absent)
+    and ``plane_c`` int8 presence indicators -- and the whole hot loop
+    becomes **contiguous row gathers + reductions** instead of random element
+    gathers: per read, S = sum of its windows' score rows, C = sum of the
+    indicator rows.  This is numerically *identical* to the scalar
+    accumulation (adding 0.0 is exact; rows are summed in window order,
+    reference: place.cpp:349-371) and removes every budget-overflow retry.
+
+    The ambiguous first-hit (quirks Q6/Q7) also goes dense: keys are laid
+    out per read in processing order as columns, so the first expanded key
+    containing a branch is simply the argmin column with a set indicator.
+
+    Keys are shaped (R, Wmax)/(R, Amax), padded with sentinel keys that miss
+    the table; misses map to the all-zero row.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    log_eps = f32(log_eps)
+    eps = f32(eps)
+    ln10 = f32(math.log(10.0))
+    zero_row = plane_s.shape[0] - 1
+
+    found, row, _ = lookup(table, seed1, seed2, e_hi.reshape(-1), e_lo.reshape(-1))
+    rows = jnp.where(found, row.astype(i32), i32(zero_row)).reshape(R, Wmax)
+
+    # chunked row-gather + reduce keeps the (R, chunk, B) working set small
+    W_CH = min(32, Wmax)
+
+    def w_body(i, acc):
+        S, C = acc
+        chunk = jax.lax.dynamic_slice(rows, (0, i * W_CH), (R, W_CH))
+        S = S + jnp.sum(plane_s[chunk], axis=1)
+        C = C + jnp.sum(plane_c[chunk].astype(i32), axis=1)
+        return S, C
+
+    S, C = jax.lax.fori_loop(
+        0, Wmax // W_CH, w_body,
+        (jnp.zeros((R, B), f32), jnp.zeros((R, B), i32)),
+    )
+
+    # ---- ambiguous first-hit, dense (column index == processing order) ------
+    afound, arow, _ = lookup(table, seed1, seed2, a_hi.reshape(-1), a_lo.reshape(-1))
+    arows = jnp.where(afound, arow.astype(i32), i32(zero_row)).reshape(R, Amax)
+    A_CH = min(8, Amax)
+
+    def a_body(i, carry):
+        first, sel = carry
+        chunk = jax.lax.dynamic_slice(arows, (0, i * A_CH), (R, A_CH))
+        ind = plane_c[chunk] > 0  # (R, A_CH, B)
+        col = jax.lax.broadcasted_iota(i32, (R, A_CH, B), 1) + i * A_CH
+        cand = jnp.where(ind, col, _ORDER_INF)
+        cfirst = jnp.min(cand, axis=1)
+        argc = jnp.argmin(cand, axis=1)  # (R, B) column within chunk
+        cscore = jnp.take_along_axis(plane_s[chunk], argc[:, None, :], axis=1)[:, 0, :]
+        better = cfirst < first
+        return jnp.where(better, cfirst, first), jnp.where(better, cscore, sel)
+
+    first, sel_score = jax.lax.fori_loop(
+        0, Amax // A_CH, a_body,
+        (jnp.full((R, B), _ORDER_INF, i32), jnp.zeros((R, B), f32)),
+    )
+    hit = first < _ORDER_INF
+    pow10 = jnp.exp(sel_score * ln10)
+    V = (pow10 + f32(k - 1) * eps) / f32(k)
+    S = S + jnp.where(hit, V, 0.0)
+    C = C + hit.astype(i32)
+
+    zero = jnp.int32(0)
+    return finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps) + (zero, zero)
+
+
 @dataclasses.dataclass
 class _Pending:
     """In-flight batch: device arrays dispatched, results not yet fetched."""
@@ -350,6 +454,38 @@ class JaxPlacer:
         self._dense = mode == "matmul" or (mode == "auto" and backend == "tpu")
         self._interpret = backend != "tpu"  # Pallas interpret mode off-TPU
 
+        # dense-DB planes: the bandwidth-optimal layout when they fit HBM
+        n_keys = db.num_kmers
+        plane_bytes = (n_keys + 1) * self.B * 5  # f32 scores + int8 indicators
+        cfg_dense = self.config.dense_db
+        # an explicit accumulate choice pins the CSR path; only "auto" allows
+        # the dense planes to take over
+        self._dense_db = cfg_dense == "on" or (
+            cfg_dense == "auto"
+            and mode == "auto"
+            and plane_bytes <= self.config.dense_db_budget
+        )
+        if self._dense_db:
+            # table payload = dense row index (not a CSR offset)
+            self.table = build_table(
+                db.keys, np.arange(n_keys, dtype=np.uint32), lens
+            )
+            self._dev_table = self.table.device_arrays()
+            rows_per_posting = np.repeat(
+                np.arange(n_keys, dtype=np.int32), lens.astype(np.int64)
+            )
+            br = db.branches.astype(np.int32)
+            self._plane_s = (
+                jnp.zeros((n_keys + 1, self.B), jnp.float32)
+                .at[rows_per_posting, br]
+                .set(jnp.asarray(db.scores))
+            )
+            self._plane_c = (
+                jnp.zeros((n_keys + 1, self.B), jnp.int8)
+                .at[rows_per_posting, br]
+                .set(jnp.int8(1))
+            )
+
     # -- host-side batch staging ----------------------------------------------
 
     @staticmethod
@@ -358,6 +494,19 @@ class JaxPlacer:
         padded[: keys.shape[0]] = keys
         hi = (padded >> np.uint64(32)).astype(np.uint32)
         lo = (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return hi, lo
+
+    @staticmethod
+    def _key_matrix(keys: np.ndarray, read: np.ndarray, R: int, width: int):
+        """(R, width) per-read key matrix in processing order, sentinel-padded."""
+        M = np.full((R, width), _SENTINEL_KEY, dtype=np.uint64)
+        if keys.size:
+            counts = np.bincount(read, minlength=R)
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            cols = np.arange(keys.shape[0]) - starts[read]
+            M[read, cols] = keys
+        hi = (M >> np.uint64(32)).astype(np.uint32)
+        lo = (M & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         return hi, lo
 
     @staticmethod
@@ -406,6 +555,24 @@ class JaxPlacer:
         e_read = self._pad_i32(tokens.exact_read, E, R)
         a_read = self._pad_i32(tokens.amb_read, A, R)
         a_order = self._pad_i32(tokens.amb_order, A, 2**31 - 1)
+
+        if self._dense_db:
+            wpr = int(np.bincount(tokens.exact_read, minlength=R).max()) if tokens.exact_read.size else 1
+            apr = int(np.bincount(tokens.amb_read, minlength=R).max()) if tokens.amb_read.size else 1
+            Wmax = _bucket(wpr, 8)
+            Amax = _bucket(apr, 8)
+            K = min(cfg.keep_at_most, self.B)
+            e_hi, e_lo = self._key_matrix(tokens.exact_keys, tokens.exact_read, R, Wmax)
+            a_hi, a_lo = self._key_matrix(tokens.amb_keys, tokens.amb_read, R, Amax)
+            out = _place_batch_device_densedb(
+                self._dev_table, self._plane_s, self._plane_c,
+                jnp.asarray(e_hi), jnp.asarray(e_lo),
+                jnp.asarray(a_hi), jnp.asarray(a_lo), jnp.asarray(m_f32),
+                R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,
+                seed1=self.table.seed1, seed2=self.table.seed2,
+                log_eps=float(self.log_eps), eps=float(self.eps),
+            )
+            return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
 
         est = max(1, int(self._avg_plen * cfg.budget_headroom))
         if self._dense:
@@ -457,8 +624,16 @@ class JaxPlacer:
         if pending.out is None:
             return PlacedCollection(sequence_map=pending.sequence_map, placed_seqs=[])
         cfg = self.config
-        P, PA = pending.budgets
         inputs, R, K = pending.redo
+        if pending.budgets is None:  # dense-DB mode: no overflow retries
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = (
+                jax.device_get(pending.out)
+            )
+            return self._assemble(
+                pending.seqs, pending.sequence_map, pending.m_signed,
+                scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K,
+            )
+        P, PA = pending.budgets
         out = pending.out
         while True:
             # one batched transfer: per-array np.asarray costs a full

@@ -245,3 +245,77 @@ class TestMatmulAccumulate:
             for i in range(6)
         ]
         assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+
+class TestDenseDB:
+    """Dense-plane database mode: row-gather accumulation."""
+
+    def _dense_placer(self, db, **kw):
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        tree = parse_newick(db.tree())
+        cfg = PlacerConfig(dense_db="on")
+        return JaxPlacer(db, tree, config=cfg, **kw), tree
+
+    def test_matches_oracle(self):
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=33)
+        jax_p, tree = self._dense_placer(db)
+        assert jax_p._dense_db
+        ref = ReferencePlacer(db, tree)
+        rng = np.random.default_rng(34)
+        from epik_tpu.core.alphabet import DNA
+
+        recs = []
+        for i in range(30):
+            parts = [
+                DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                for _ in range(rng.integers(1, 8))
+            ]
+            recs.append((f"q{i}", "".join(parts).encode()))
+        recs += [("amb", b"ANGTCA" * 2), ("nohit", b"T" * 12), ("short", b"AC"),
+                 ("manyN", b"NCGTNA" * 4)]
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_random_ambiguity(self):
+        db = random_db(num_leaves=20, kmer_size=5, num_kmers=800, seed=35)
+        jax_p, tree = self._dense_placer(db)
+        ref = ReferencePlacer(db, tree)
+        reads = random_reads(25, length=30, seed=36, ambig_rate=0.12)
+        assert_equivalent(ref.place(reads), jax_p.place(reads))
+
+    def test_amino_dense(self):
+        db = random_db(num_leaves=12, kmer_size=4, num_kmers=900, seed=37,
+                       sequence_type="amino")
+        jax_p, tree = self._dense_placer(db)
+        ref = ReferencePlacer(db, tree)
+        from epik_tpu.core.alphabet import AMINO
+
+        rng = np.random.default_rng(38)
+        recs = [
+            (
+                f"p{i}",
+                "".join(
+                    AMINO.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 4)
+                    for _ in range(4)
+                ).encode(),
+            )
+            for i in range(12)
+        ]
+        recs.append(("ambX", b"ACDXFGHI"))
+        assert_equivalent(ref.place(recs), jax_p.place(recs))
+
+    def test_auto_selects_dense_for_small_db(self):
+        from epik_tpu.engine.placer import JaxPlacer
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=39)
+        tree = parse_newick(db.tree())
+        p = JaxPlacer(db, tree)  # auto
+        assert p._dense_db  # tiny planes always fit the default budget
+
+    def test_off_switch(self):
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=40)
+        tree = parse_newick(db.tree())
+        p = JaxPlacer(db, tree, config=PlacerConfig(dense_db="off"))
+        assert not p._dense_db
