@@ -341,13 +341,31 @@ def _place_batch_device_densedb(
     Keys are shaped (R, Wmax)/(R, Amax), padded with sentinel keys that miss
     the table; misses map to the all-zero row.
     """
+    S, C = dense_exact_sums(
+        table, plane_s, plane_c, e_hi, e_lo, R=R, B=B, Wmax=Wmax,
+        seed1=seed1, seed2=seed2,
+    )
+    first, sel_score = dense_amb_firsthit(
+        table, plane_s, plane_c, a_hi, a_lo, R=R, B=B, Amax=Amax,
+        seed1=seed1, seed2=seed2,
+    )
+    hit = first < _ORDER_INF
+    f32 = jnp.float32
+    pow10 = jnp.exp(sel_score * f32(math.log(10.0)))
+    V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
+    S = S + jnp.where(hit, V, 0.0)
+    C = C + hit.astype(jnp.int32)
+
+    zero = jnp.int32(0)
+    return finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps) + (zero, zero)
+
+
+def dense_exact_sums(table, plane_s, plane_c, e_hi, e_lo, *, R, B, Wmax,
+                     seed1, seed2):
+    """Per-read (S, C) sums from dense planes (shard-composable: psum both)."""
     f32 = jnp.float32
     i32 = jnp.int32
-    log_eps = f32(log_eps)
-    eps = f32(eps)
-    ln10 = f32(math.log(10.0))
     zero_row = plane_s.shape[0] - 1
-
     found, row, _ = lookup(table, seed1, seed2, e_hi.reshape(-1), e_lo.reshape(-1))
     rows = jnp.where(found, row.astype(i32), i32(zero_row)).reshape(R, Wmax)
 
@@ -361,12 +379,24 @@ def _place_batch_device_densedb(
         C = C + jnp.sum(plane_c[chunk].astype(i32), axis=1)
         return S, C
 
-    S, C = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, Wmax // W_CH, w_body,
         (jnp.zeros((R, B), f32), jnp.zeros((R, B), i32)),
     )
 
-    # ---- ambiguous first-hit, dense (column index == processing order) ------
+
+def dense_amb_firsthit(table, plane_s, plane_c, a_hi, a_lo, *, R, B, Amax,
+                       seed1, seed2):
+    """Ambiguous first-hit from dense planes (quirks Q6/Q7).
+
+    Returns (first, sel_score): the min processing order per (read, branch)
+    (_ORDER_INF when none) and the score of that first hit.  Shard combine:
+    ``first_g = pmin(first); V_g = psum(where(first == first_g & hit, V, 0))``
+    -- each key lives on one shard, so the argmin owner is unique.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    zero_row = plane_s.shape[0] - 1
     afound, arow, _ = lookup(table, seed1, seed2, a_hi.reshape(-1), a_lo.reshape(-1))
     arows = jnp.where(afound, arow.astype(i32), i32(zero_row)).reshape(R, Amax)
     A_CH = min(8, Amax)
@@ -383,18 +413,10 @@ def _place_batch_device_densedb(
         better = cfirst < first
         return jnp.where(better, cfirst, first), jnp.where(better, cscore, sel)
 
-    first, sel_score = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, Amax // A_CH, a_body,
         (jnp.full((R, B), _ORDER_INF, i32), jnp.zeros((R, B), f32)),
     )
-    hit = first < _ORDER_INF
-    pow10 = jnp.exp(sel_score * ln10)
-    V = (pow10 + f32(k - 1) * eps) / f32(k)
-    S = S + jnp.where(hit, V, 0.0)
-    C = C + hit.astype(i32)
-
-    zero = jnp.int32(0)
-    return finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps) + (zero, zero)
 
 
 @dataclasses.dataclass

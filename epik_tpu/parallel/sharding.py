@@ -69,10 +69,7 @@ def _shard_of_key(keys: np.ndarray, n_shards: int) -> np.ndarray:
 class _ShardedDB:
     """Stacked per-shard tables + posting arrays (leading model axis)."""
 
-    t_hi: np.ndarray  # [n_model, nb, BUCKET] uint32
-    t_lo: np.ndarray
-    t_off: np.ndarray
-    t_len: np.ndarray
+    packed: np.ndarray  # [n_model, nb, 4*BUCKET] uint32 (packed cuckoo rows)
     branches: np.ndarray  # [n_model, Pmax] int32
     scores: np.ndarray  # [n_model, Pmax] float32
     seeds: list[tuple[int, int]]
@@ -117,10 +114,7 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int) -> _ShardedDB:
         lambda i: np.pad(per_shard[i][3].astype(np.float32), (0, p_max - per_shard[i][3].shape[0]))
     )
     return _ShardedDB(
-        t_hi=stack(lambda i: tables[i].key_hi),
-        t_lo=stack(lambda i: tables[i].key_lo),
-        t_off=stack(lambda i: tables[i].off),
-        t_len=stack(lambda i: tables[i].length),
+        packed=stack(lambda i: tables[i].packed()),
         branches=branches_pad,
         scores=scores_pad,
         seeds=[(t.seed1, t.seed2) for t in tables],
@@ -169,15 +163,15 @@ class ShardedJaxPlacer:
     # -- device kernel ---------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnames=("self", "R", "K", "Pb", "PAb"))
-    def _sharded_kernel(self, seed1, seed2, t_hi, t_lo, t_off, t_len, db_b, db_s,
+    def _sharded_kernel(self, seed1, seed2, t_packed, db_b, db_s,
                         e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
                         R: int, K: int, Pb: int, PAb: int):
         B, k = self.B, self.k
         mesh = self.mesh
 
-        def block(seed1, seed2, t_hi, t_lo, t_off, t_len, db_b, db_s,
+        def block(seed1, seed2, t_packed, db_b, db_s,
                   e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m):
-            table = (t_hi[0], t_lo[0], t_off[0], t_len[0])
+            table = t_packed[0]
             s1 = seed1[0, 0]
             s2 = seed2[0, 0]
             S, C, e_total = accumulate_exact(
@@ -207,11 +201,11 @@ class ShardedJaxPlacer:
         out = jax.shard_map(
             block,
             mesh=mesh,
-            in_specs=(spec_model,) * 8 + (spec_data,) * 8,
+            in_specs=(spec_model,) * 5 + (spec_data,) * 8,
             out_specs=(spec_data,) * 8,
             check_vma=False,
         )(
-            seed1[:, None], seed2[:, None], t_hi, t_lo, t_off, t_len, db_b, db_s,
+            seed1[:, None], seed2[:, None], t_packed, db_b, db_s,
             e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
         )
         return out
@@ -264,8 +258,7 @@ class ShardedJaxPlacer:
         while True:
             out = self._sharded_kernel(
                 jnp.asarray(self._seed1), jnp.asarray(self._seed2),
-                jnp.asarray(sdb.t_hi), jnp.asarray(sdb.t_lo),
-                jnp.asarray(sdb.t_off), jnp.asarray(sdb.t_len),
+                jnp.asarray(sdb.packed),
                 jnp.asarray(sdb.branches), jnp.asarray(sdb.scores),
                 stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
                 stack(6), stack(7),

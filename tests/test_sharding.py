@@ -66,10 +66,7 @@ def test_shard_db_roundtrip(db):
     hi = (db.keys >> np.uint64(32)).astype(np.uint32)
     lo = (db.keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     for s in range(4):
-        table = (
-            jnp.asarray(sdb.t_hi[s]), jnp.asarray(sdb.t_lo[s]),
-            jnp.asarray(sdb.t_off[s]), jnp.asarray(sdb.t_len[s]),
-        )
+        table = jnp.asarray(sdb.packed[s])
         found, off, length = lookup(
             table, int(sdb.seeds[s][0]), int(sdb.seeds[s][1]),
             jnp.asarray(hi), jnp.asarray(lo),
