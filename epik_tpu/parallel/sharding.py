@@ -74,9 +74,15 @@ class _ShardedDB:
     scores: np.ndarray  # [n_model, Pmax] float32
     seeds: list[tuple[int, int]]
     avg_plen: float
+    plane_s: np.ndarray | None = None  # [n_model, rows_max+1, B] f32 (dense)
+    plane_c: np.ndarray | None = None  # [n_model, rows_max+1, B] int8
 
 
-def shard_db_by_hash(db: PhyloKmerDB, n_model: int) -> _ShardedDB:
+def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
+                     num_branches: int | None = None) -> _ShardedDB:
+    """Partition the DB by key hash.  With ``dense``, also build per-shard
+    dense planes (see engine/placer.py dense-DB mode) and tables whose
+    payload is the local plane row index."""
     lens_all = np.diff(db.row_off)
     shard_ids = _shard_of_key(db.keys, n_model)
     per_shard = []
@@ -102,8 +108,23 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int) -> _ShardedDB:
 
     nb_target = _next_pow2(max(1, int(np.ceil(max_n / (BUCKET * 0.85)))))
     tables = []
+    planes_s, planes_c = [], []
+    rows_max = max_n
+    B = num_branches or 0
     for keys, local_off, branches, scores in per_shard:
-        t = build_table(keys, local_off[:-1], np.diff(local_off), min_buckets=nb_target)
+        lens = np.diff(local_off)
+        if dense:
+            t = build_table(keys, np.arange(keys.shape[0], dtype=np.uint32),
+                            lens, min_buckets=nb_target)
+            ps = np.zeros((rows_max + 1, B), np.float32)
+            pc = np.zeros((rows_max + 1, B), np.int8)
+            rpp = np.repeat(np.arange(keys.shape[0]), lens)
+            ps[rpp, branches.astype(np.int64)] = scores
+            pc[rpp, branches.astype(np.int64)] = 1
+            planes_s.append(ps)
+            planes_c.append(pc)
+        else:
+            t = build_table(keys, local_off[:-1], lens, min_buckets=nb_target)
         tables.append(t)
     p_max = max(1, max(x[2].shape[0] for x in per_shard))
     stack = lambda f: np.stack([f(i) for i in range(n_model)])
@@ -119,6 +140,8 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int) -> _ShardedDB:
         scores=scores_pad,
         seeds=[(t.seed1, t.seed2) for t in tables],
         avg_plen=float(lens_all.mean()) if lens_all.size else 1.0,
+        plane_s=np.stack(planes_s) if dense else None,
+        plane_c=np.stack(planes_c) if dense else None,
     )
 
 
@@ -152,7 +175,15 @@ class ShardedJaxPlacer:
         mean = np.where(num > 1, tot / np.maximum(num, 1), 0.0)
         self.pendant = mean + self.distal
 
-        sdb = shard_db_by_hash(db, self.n_model)
+        plane_bytes = (db.num_kmers + self.n_model) * self.B * 5
+        cfgd = self.config.dense_db
+        self._dense_db = cfgd == "on" or (
+            cfgd == "auto"
+            and self.config.accumulate == "auto"
+            and plane_bytes <= self.config.dense_db_budget
+        )
+        sdb = shard_db_by_hash(db, self.n_model, dense=self._dense_db,
+                               num_branches=self.B)
         self._sdb = sdb
         # per-shard seeds must be identical for a traced kernel; rebuild with a
         # common seed pair would be ideal, but seeds are static args instead:
@@ -210,6 +241,62 @@ class ShardedJaxPlacer:
         )
         return out
 
+    @functools.partial(
+        jax.jit, static_argnames=("self", "R", "K", "Wmax", "Amax")
+    )
+    def _sharded_kernel_dense(self, seed1, seed2, t_packed, plane_s, plane_c,
+                              e_hi, e_lo, a_hi, a_lo, m_f32,
+                              R: int, K: int, Wmax: int, Amax: int):
+        """Dense-plane sharded step: per-shard row-gather sums merged with
+        psum; ambiguous first-hit merged with pmin + owner-masked psum."""
+        from ..engine.placer import dense_amb_firsthit, dense_exact_sums
+
+        B, k = self.B, self.k
+        mesh = self.mesh
+        eps = self.eps
+        log_eps = self.log_eps
+
+        def block(seed1, seed2, t_packed, plane_s, plane_c,
+                  e_hi, e_lo, a_hi, a_lo, m):
+            table = t_packed[0]
+            s1 = seed1[0, 0]
+            s2 = seed2[0, 0]
+            S, C = dense_exact_sums(
+                table, plane_s[0], plane_c[0], e_hi[0], e_lo[0],
+                R=R, B=B, Wmax=Wmax, seed1=s1, seed2=s2,
+            )
+            first, sel = dense_amb_firsthit(
+                table, plane_s[0], plane_c[0], a_hi[0], a_lo[0],
+                R=R, B=B, Amax=Amax, seed1=s1, seed2=s2,
+            )
+            S = jax.lax.psum(S, MODEL_AXIS)
+            C = jax.lax.psum(C, MODEL_AXIS)
+            first_g = jax.lax.pmin(first, MODEL_AXIS)
+            hit = first_g < _ORDER_INF
+            owner = (first == first_g) & hit
+            f32 = jnp.float32
+            pow10 = jnp.exp(sel * f32(math.log(10.0)))
+            V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
+            V_g = jax.lax.psum(jnp.where(owner, V, 0.0), MODEL_AXIS)
+            S = S + jnp.where(hit, V_g, 0.0)
+            C = C + hit.astype(jnp.int32)
+            outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=log_eps)
+            zero = jnp.zeros((1,), jnp.int32)
+            return tuple(o[None] for o in outs) + (zero, zero)
+
+        spec_model = P(MODEL_AXIS)
+        spec_data = P(DATA_AXIS)
+        return jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(spec_model,) * 5 + (spec_data,) * 5,
+            out_specs=(spec_data,) * 8,
+            check_vma=False,
+        )(
+            seed1[:, None], seed2[:, None], t_packed, plane_s, plane_c,
+            e_hi, e_lo, a_hi, a_lo, m_f32,
+        )
+
     # -- host orchestration ----------------------------------------------------
 
     def place(self, records: list[tuple[str, bytes]]) -> PlacedCollection:
@@ -225,6 +312,54 @@ class ShardedJaxPlacer:
         R = max(1, -(-len(seqs) // nd))  # reads per data shard
         groups = [seqs[i * R : (i + 1) * R] for i in range(nd)]
         toks = [tokenize_batch(g, self.k, self.alphabet) for g in groups]
+
+        if self._dense_db:
+            from ..engine.placer import JaxPlacer as _JP
+
+            wpr = max(
+                (int(np.bincount(t.exact_read, minlength=R).max()) if t.exact_read.size else 1)
+                for t in toks
+            )
+            apr = max(
+                (int(np.bincount(t.amb_read, minlength=R).max()) if t.amb_read.size else 1)
+                for t in toks
+            )
+            Wmax = _bucket(wpr, 8)
+            Amax = _bucket(apr, 8)
+            K = min(cfg.keep_at_most, self.B)
+            mats = [
+                _JP._key_matrix(t.exact_keys, t.exact_read, R, Wmax)
+                + _JP._key_matrix(t.amb_keys, t.amb_read, R, Amax)
+                for t in toks
+            ]
+            stackm = lambda i: np.stack([m[i] for m in mats])
+            m_stack = []
+            for t in toks:
+                m_signed_g = t.seq_lengths - self.k + 1
+                m_f32 = np.where(
+                    m_signed_g >= 0,
+                    m_signed_g.astype(np.float32),
+                    np.float32(float(_U64)) + m_signed_g.astype(np.float32),
+                ).astype(np.float32)
+                m_pad = np.zeros(R, np.float32)
+                m_pad[: m_f32.shape[0]] = m_f32
+                m_stack.append(m_pad)
+            sdb = self._sdb
+            out = self._sharded_kernel_dense(
+                jnp.asarray(self._seed1), jnp.asarray(self._seed2),
+                jnp.asarray(sdb.packed), jnp.asarray(sdb.plane_s),
+                jnp.asarray(sdb.plane_c),
+                stackm(0), stackm(1), stackm(2), stackm(3),
+                np.stack(m_stack),
+                R=R, K=K, Wmax=Wmax, Amax=Amax,
+            )
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = (
+                jax.device_get(out)
+            )
+            return self._assemble_groups(
+                groups, toks, scores_k, idx_k, counts_k, wr_k, n_touched,
+                zero_sum, K, sequence_map,
+            )
 
         E = _bucket(max(t.exact_keys.shape[0] for t in toks), cfg.min_bucket)
         A = _bucket(max(t.amb_keys.shape[0] for t in toks), cfg.min_bucket)
@@ -274,7 +409,15 @@ class ShardedJaxPlacer:
             if a_tot.max() > PA_budget:
                 PA_budget = _bucket(int(a_tot.max()), cfg.min_bucket)
 
-        # flatten data-shard outputs back to read order
+        return self._assemble_groups(
+            groups, toks, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum,
+            K, sequence_map,
+        )
+
+    def _assemble_groups(self, groups, toks, scores_k, idx_k, counts_k, wr_k,
+                         n_touched, zero_sum, K, sequence_map) -> PlacedCollection:
+        """Flatten per-data-shard outputs back to read order + jplace rows."""
+        cfg = self.config
         placed_seqs: list[PlacedSequence] = []
         for g, group in enumerate(groups):
             t = toks[g]

@@ -77,9 +77,13 @@ def test_shard_db_roundtrip(db):
 
 @pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2), (2, 4), (1, 8)])
 def test_mesh_shapes_match_oracle(db, reads, n_data, n_model):
+    from epik_tpu.engine.placer import PlacerConfig
+
     tree = parse_newick(db.tree())
     mesh = make_mesh(n_data=n_data, n_model=n_model)
-    sharded = ShardedJaxPlacer(db, tree, mesh)
+    # dense_db off: pin the CSR scatter path (dense has its own test class)
+    sharded = ShardedJaxPlacer(db, tree, mesh, config=PlacerConfig(dense_db="off"))
+    assert not sharded._dense_db
     ref = ReferencePlacer(db, tree)
     assert_equivalent(ref.place(reads), sharded.place(reads))
 
@@ -115,3 +119,25 @@ def test_amino_sharded():
     ]
     recs.append(("ambX", b"ACDXFGHI"))
     assert_equivalent(ref.place(recs), sharded.place(recs))
+
+
+class TestShardedDense:
+    """Dense-plane sharded mode on virtual meshes."""
+
+    @pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4)])
+    def test_dense_matches_oracle(self, db, reads, n_data, n_model):
+        from epik_tpu.engine.placer import PlacerConfig
+
+        tree = parse_newick(db.tree())
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        cfg = PlacerConfig(dense_db="on")
+        sharded = ShardedJaxPlacer(db, tree, mesh, config=cfg)
+        assert sharded._dense_db
+        ref = ReferencePlacer(db, tree)
+        assert_equivalent(ref.place(reads), sharded.place(reads))
+
+    def test_auto_selects_dense(self, db):
+        tree = parse_newick(db.tree())
+        mesh = make_mesh(n_data=4, n_model=2)
+        sharded = ShardedJaxPlacer(db, tree, mesh)
+        assert sharded._dense_db  # small fixture always fits
