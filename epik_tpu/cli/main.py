@@ -68,9 +68,12 @@ def epik():
               help="Placement engine: TPU/XLA pipeline or the scalar oracle.")
 @click.option("--platform", type=str, default=None,
               help="Force a jax platform (e.g. cpu, tpu). Default: jax's choice.")
+@click.option("--resume", is_flag=True, default=False,
+              help="Resume an interrupted run: keep complete placements in the "
+                   "existing output file and continue from the next read.")
 @click.argument("input_file", type=click.Path(exists=True))
 def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
-          keep_at_most, keep_factor, engine, platform, input_file):
+          keep_at_most, keep_factor, engine, platform, resume, input_file):
     """Places .fasta files using the input phylo-k-mer database.
 
     epik place -s [nucl|amino] -i DB.eptk -o output file.fasta
@@ -82,10 +85,37 @@ def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
     rc = place_queries(
         database, states, omega, mu, outputdir, threads, max_ram, input_file,
         batch_size=batch_size, keep_at_most=keep_at_most, keep_factor=keep_factor,
-        engine=engine,
+        engine=engine, resume=resume,
     )
     if rc:
         raise SystemExit(rc)
+
+
+class _SkippingReader:
+    """Reader adapter that skips the first n already-placed records (resume)."""
+
+    def __init__(self, reader, skip: int):
+        self._reader = reader
+        self._skip = skip
+        self._pending: list | None = None
+
+    def next_batch(self):
+        if self._pending is not None:
+            out, self._pending = self._pending, None
+            return out
+        while True:
+            batch = self._reader.next_batch()
+            if not batch or self._skip == 0:
+                return batch
+            if len(batch) <= self._skip:
+                self._skip -= len(batch)
+                continue
+            out = batch[self._skip :]
+            self._skip = 0
+            return out
+
+    def bytes_read(self):
+        return self._reader.bytes_read()
 
 
 def make_invocation(argv: list[str]) -> str:
@@ -100,7 +130,7 @@ def make_output_filename(input_file: str, output_dir: str) -> str:
 
 def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
                   input_file, batch_size=2000, keep_at_most=7, keep_factor=0.01,
-                  engine="jax", invocation=None) -> int:
+                  engine="jax", invocation=None, resume=False) -> int:
     """Full pipeline orchestration (reference: main.cpp:237-383)."""
     if not (0.0 <= mu <= 1.0):
         click.echo("Error: Mu has to a value in [0, 1]", err=True)
@@ -168,8 +198,10 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
         invocation = make_invocation(sys.argv)
     total_fasta_size = os.path.getsize(input_file)
 
-    writer = jplace_writer(jplace_filename, invocation, tree_as_newick)
+    writer = jplace_writer(jplace_filename, invocation, tree_as_newick, resume=resume)
     writer.start()
+    if writer.resumed_reads:
+        click.echo(f"Resuming: {writer.resumed_reads} reads already placed.")
 
     click.echo(f"Engine: {engine_name}")  # analog of print_intruction_set (main.cpp:50-63)
     click.echo(f"Placing {input_file}...")
@@ -188,6 +220,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
         reader = None
     if reader is None:
         reader = batch_fasta(input_file, batch_size)
+    if writer.resumed_reads:
+        reader = _SkippingReader(reader, writer.resumed_reads)
 
     def progress(seq_per_second, num_seq_placed, bytes_read):
         bar.update(

@@ -134,7 +134,8 @@ def _place_batch_device(
     hit = first < _ORDER_INF
     S = S + jnp.where(hit, V, 0.0)
     C = C + hit.astype(jnp.int32)
-    return finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps) + (e_total, a_total)
+    outs = finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+    return _pack_outputs(outs, e_total, a_total)
 
 
 #: "no ambiguous hit" marker for the first-order matrix
@@ -357,7 +358,8 @@ def _place_batch_device_densedb(
     C = C + hit.astype(jnp.int32)
 
     zero = jnp.int32(0)
-    return finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps) + (zero, zero)
+    outs = finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+    return _pack_outputs(outs, zero, zero)
 
 
 def dense_exact_sums(table, plane_s, plane_c, e_hi, e_lo, *, R, B, Wmax,
@@ -419,6 +421,47 @@ def dense_amb_firsthit(table, plane_s, plane_c, a_hi, a_lo, *, R, B, Amax,
     )
 
 
+
+def _pack_outputs(outs, e_total, a_total):
+    """Pack all step outputs into ONE (R+1, 4K+2) f32 array.
+
+    On remote-tunnel platforms every fetched array leaf costs a full round
+    trip (measured ~30 ms each); a single packed array makes the whole
+    result one transfer.  idx/counts fit exactly in f32 (< 2**24)."""
+    scores_k, idx_k, counts_k, wr_k, n, zero_sum = outs
+    f32 = jnp.float32
+    body = jnp.concatenate(
+        [
+            scores_k,
+            wr_k.astype(f32),
+            idx_k.astype(f32),
+            counts_k.astype(f32),
+            n.astype(f32)[:, None],
+            zero_sum.astype(f32)[:, None],
+        ],
+        axis=1,
+    )
+    width = body.shape[1]
+    totals = (
+        jnp.zeros((1, width), f32)
+        .at[0, 0].set(e_total.astype(f32))
+        .at[0, 1].set(a_total.astype(f32))
+    )
+    return jnp.concatenate([body, totals], axis=0)
+
+
+def unpack_outputs(arr: np.ndarray, K: int):
+    """Host-side inverse of _pack_outputs (numpy array in)."""
+    body, totals = arr[:-1], arr[-1]
+    scores_k = body[:, 0:K]
+    wr_k = body[:, K : 2 * K].astype(np.float64)
+    idx_k = body[:, 2 * K : 3 * K].astype(np.int32)
+    counts_k = body[:, 3 * K : 4 * K].astype(np.int64)
+    n = body[:, 4 * K].astype(np.int32)
+    zero_sum = body[:, 4 * K + 1] != 0
+    return scores_k, idx_k, counts_k, wr_k, n, zero_sum, int(totals[0]), int(totals[1])
+
+
 @dataclasses.dataclass
 class _Pending:
     """In-flight batch: device arrays dispatched, results not yet fetched."""
@@ -471,6 +514,7 @@ class JaxPlacer:
         self._avg_plen = float(lens.mean()) if lens.size else 1.0
         self._max_plen = int(lens.max()) if lens.size else 0
 
+        self._native_tok = None  # resolved lazily on first batch
         mode = self.config.accumulate
         backend = jax.default_backend()
         self._dense = mode == "matmul" or (mode == "auto" and backend == "tpu")
@@ -518,6 +562,19 @@ class JaxPlacer:
         lo = (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         return hi, lo
 
+    def _tokenize(self, seqs):
+        """Native C++ tokenizer when built; numpy single-pass otherwise."""
+        if self._native_tok is None:
+            try:
+                from ..native import native_available, native_tokenize_batch
+
+                self._native_tok = native_tokenize_batch if native_available() else False
+            except Exception:
+                self._native_tok = False
+        if self._native_tok:
+            return self._native_tok(seqs, self.k, self.alphabet)
+        return tokenize_batch(seqs, self.k, self.alphabet)
+
     @staticmethod
     def _key_matrix(keys: np.ndarray, read: np.ndarray, R: int, width: int):
         """(R, width) per-read key matrix in processing order, sentinel-padded."""
@@ -560,7 +617,7 @@ class JaxPlacer:
         if R == 0:
             return _Pending(sequence_map, [], None, None, None, None)
 
-        tokens = tokenize_batch(seqs, self.k, self.alphabet)
+        tokens = self._tokenize(seqs)
         # the correction term uses the size_t-wrapped window count (quirk Q1);
         # float32(2**64 - small) == float32(2**64), so the wrap collapses
         m_signed = tokens.seq_lengths - self.k + 1  # int64, may be negative
@@ -570,18 +627,12 @@ class JaxPlacer:
             np.float32(float(_U64)) + m_signed.astype(np.float32),
         ).astype(np.float32)
 
-        E = _bucket(tokens.exact_keys.shape[0], cfg.min_bucket)
-        A = _bucket(tokens.amb_keys.shape[0], cfg.min_bucket)
-        e_hi, e_lo = self._pad_u64_split(tokens.exact_keys, E)
-        a_hi, a_lo = self._pad_u64_split(tokens.amb_keys, A)
-        e_read = self._pad_i32(tokens.exact_read, E, R)
-        a_read = self._pad_i32(tokens.amb_read, A, R)
-        a_order = self._pad_i32(tokens.amb_order, A, 2**31 - 1)
-
         if self._dense_db:
             wpr = int(np.bincount(tokens.exact_read, minlength=R).max()) if tokens.exact_read.size else 1
             apr = int(np.bincount(tokens.amb_read, minlength=R).max()) if tokens.amb_read.size else 1
-            Wmax = _bucket(wpr, 8)
+            # multiple-of-32 buckets: a pow2 bucket wastes up to 2x row
+            # gathers on the all-zero padding row
+            Wmax = max(32, -(-wpr // 32) * 32)
             Amax = _bucket(apr, 8)
             K = min(cfg.keep_at_most, self.B)
             e_hi, e_lo = self._key_matrix(tokens.exact_keys, tokens.exact_read, R, Wmax)
@@ -595,6 +646,14 @@ class JaxPlacer:
                 log_eps=float(self.log_eps), eps=float(self.eps),
             )
             return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
+
+        E = _bucket(tokens.exact_keys.shape[0], cfg.min_bucket)
+        A = _bucket(tokens.amb_keys.shape[0], cfg.min_bucket)
+        e_hi, e_lo = self._pad_u64_split(tokens.exact_keys, E)
+        a_hi, a_lo = self._pad_u64_split(tokens.amb_keys, A)
+        e_read = self._pad_i32(tokens.exact_read, E, R)
+        a_read = self._pad_i32(tokens.amb_read, A, R)
+        a_order = self._pad_i32(tokens.amb_order, A, 2**31 - 1)
 
         est = max(1, int(self._avg_plen * cfg.budget_headroom))
         if self._dense:
@@ -648,8 +707,8 @@ class JaxPlacer:
         cfg = self.config
         inputs, R, K = pending.redo
         if pending.budgets is None:  # dense-DB mode: no overflow retries
-            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = (
-                jax.device_get(pending.out)
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = unpack_outputs(
+                np.asarray(pending.out), K
             )
             return self._assemble(
                 pending.seqs, pending.sequence_map, pending.m_signed,
@@ -658,10 +717,10 @@ class JaxPlacer:
         P, PA = pending.budgets
         out = pending.out
         while True:
-            # one batched transfer: per-array np.asarray costs a full
-            # host<->device round trip EACH on remote-tunnel platforms
+            # one packed transfer: per-array fetches cost a full round trip
+            # EACH on remote-tunnel platforms
             (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_total, a_total) = (
-                jax.device_get(out)
+                unpack_outputs(np.asarray(out), K)
             )
             if e_total <= P and a_total <= PA:
                 break
@@ -726,34 +785,41 @@ class JaxPlacer:
     def _assemble(
         self, seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K
     ) -> PlacedCollection:
+        """Vectorized jplace-row assembly (numpy decisions + tolist batch
+        conversion; per-element float() calls dominated the profile)."""
         cfg = self.config
+        R = len(seqs)
+        n_eff = np.minimum(n_touched, K)
+        # keep-factor filter precomputed: threshold = best_wr * kf (quirk Q3
+        # zeroes kf); placements are score-desc so wr_k[:, 0] is the best
+        kf = np.where(zero_sum, 0.0, cfg.keep_factor)
+        thresh = wr_k[:, 0] * kf
+        jcols = np.arange(K)[None, :]
+        keep = (jcols < n_eff[:, None]) & (wr_k >= thresh[:, None])
+        # batch-convert to python scalars (C-speed) before object building
+        sc = scores_k.tolist()
+        wr = wr_k.tolist()
+        ids = idx_k.tolist()
+        cnt = counts_k.tolist()
+        dist = self.distal[idx_k].tolist()
+        pend = self.pendant[idx_k].tolist()
+        keep_l = keep.tolist()
         placed_seqs = []
         for i, seq in enumerate(seqs):
-            n = int(n_touched[i])
-            keep_factor = cfg.keep_factor
-            if n == 0:
+            if n_touched[i] == 0:
                 placements, sum_is_zero = self._fallback(int(m_signed[i]) % _U64)
-                if sum_is_zero:
-                    keep_factor = 0.0
+                keep_factor = 0.0 if sum_is_zero else cfg.keep_factor
+                best = placements[0].weight_ratio if placements else 0.0
+                ratio_threshold = best * keep_factor
+                placements = [p for p in placements if p.weight_ratio >= ratio_threshold]
             else:
-                placements = []
-                for j in range(min(n, K)):
-                    e = int(idx_k[i, j])
-                    placements.append(
-                        Placement(
-                            branch_id=e,
-                            score=float(scores_k[i, j]),
-                            weight_ratio=float(wr_k[i, j]),
-                            count=int(counts_k[i, j]),
-                            distal_length=float(self.distal[e]),
-                            pendant_length=float(self.pendant[e]),
-                        )
-                    )
-                if zero_sum[i]:
-                    keep_factor = 0.0
-            best = placements[0].weight_ratio if placements else 0.0
-            ratio_threshold = best * keep_factor
-            placements = [p for p in placements if p.weight_ratio >= ratio_threshold]
+                ki = keep_l[i]
+                placements = [
+                    Placement(ids[i][j], sc[i][j], wr[i][j], cnt[i][j],
+                              dist[i][j], pend[i][j])
+                    for j in range(int(n_eff[i]))
+                    if ki[j]
+                ]
             placed_seqs.append(PlacedSequence(sequence=seq, placements=placements))
         return PlacedCollection(sequence_map=sequence_map, placed_seqs=placed_seqs)
 

@@ -75,20 +75,98 @@ def format_double(x: float) -> str:
     return f"{sign}{mant}e{e}"
 
 
+def scan_partial(filename: str) -> tuple[int, int]:
+    """Inspect a partial (crashed) jplace file for resume.
+
+    The writer appends batch-by-batch and flushes after each batch
+    (mirroring the reference's per-batch appends, jplace.cpp:33-36), so a
+    crashed run leaves a file with a complete header and N complete
+    placement objects.  Returns ``(num_reads_written, truncate_to)``: the
+    number of ``nm`` name entries in complete objects (reads are consumed
+    in file order, so this is exactly how many input records to skip;
+    quirk Q8 dedup is per batch, so every record appears in exactly one
+    ``nm`` entry) and the byte offset just after the last complete object.
+    """
+    with open(filename, "r", encoding="utf-8") as f:
+        text = f.read()
+    start = text.find('"placements": [')
+    if start < 0:
+        return 0, 0
+    pos = start + len('"placements": [')
+    num_reads = 0
+    truncate_to = pos
+    depth = 0
+    in_string = False
+    escape = False
+    obj_start = None
+    i = pos
+    while i < len(text):
+        ch = text[i]
+        if in_string:
+            if escape:
+                escape = False
+            elif ch == "\\":
+                escape = True
+            elif ch == '"':
+                in_string = False
+        elif ch == '"':
+            in_string = True
+        elif ch == "{":
+            if depth == 0:
+                obj_start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                # a complete placement object; count its nm entries
+                try:
+                    parsed = json.loads(text[obj_start : i + 1])
+                except ValueError:
+                    break  # trailing garbage: truncate before it
+                num_reads += len(parsed.get("nm", []))
+                truncate_to = i + 1
+        i += 1
+    return num_reads, truncate_to
+
+
 class jplace_writer:
     """Streaming writer with the reference's start / << / end protocol
-    (reference: main.cpp:302-303,361,366)."""
+    (reference: main.cpp:302-303,361,366).
 
-    def __init__(self, filename: str, invocation: str, newick_tree: str):
+    ``resume=True`` reopens a partial file: truncates to the last complete
+    placement object and continues appending (restart-from-batch-N,
+    SURVEY.md section 5.3 -- the reference appends per batch but has no
+    resume logic)."""
+
+    def __init__(self, filename: str, invocation: str, newick_tree: str,
+                 resume: bool = False):
         self._filename = filename
         self._invocation = invocation
         self._tree = newick_tree
-        self._out = open(filename, "w", encoding="utf-8")
-        self._first_placement = True
+        self.resumed_reads = 0
+        if resume:
+            import os
+
+            if not os.path.exists(filename):
+                resume = False
+        if resume:
+            n, trunc = scan_partial(filename)
+            self.resumed_reads = n
+            self._out = open(filename, "r+", encoding="utf-8")
+            self._out.truncate(trunc)
+            self._out.seek(trunc)
+            self._first_placement = n == 0
+            self._resumed = True
+        else:
+            self._out = open(filename, "w", encoding="utf-8")
+            self._first_placement = True
+            self._resumed = False
 
     def start(self) -> None:
         """Write the header and open the placements array
-        (reference: jplace.cpp:40-59)."""
+        (reference: jplace.cpp:40-59).  No-op on a resumed file."""
+        if self._resumed:
+            return
         w = self._out
         w.write("{\n")
         w.write('    "metadata": {\n')

@@ -39,9 +39,11 @@ from ..engine.placer import (
     _U64,
     PlacerConfig,
     _bucket,
+    _pack_outputs,
     accumulate_amb_firsthit,
     accumulate_exact,
     finish_scores,
+    unpack_outputs,
 )
 from ..engine.types import PlacedCollection, PlacedSequence, Placement
 from ..io.db import PhyloKmerDB
@@ -225,7 +227,7 @@ class ShardedJaxPlacer:
             outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=self.log_eps)
             e_tot = jax.lax.pmax(e_total, MODEL_AXIS)
             a_tot = jax.lax.pmax(a_total, MODEL_AXIS)
-            return tuple(o[None] for o in outs) + (e_tot[None], a_tot[None])
+            return _pack_outputs(outs, e_tot, a_tot)[None]
 
         spec_model = P(MODEL_AXIS)
         spec_data = P(DATA_AXIS)
@@ -233,7 +235,7 @@ class ShardedJaxPlacer:
             block,
             mesh=mesh,
             in_specs=(spec_model,) * 5 + (spec_data,) * 8,
-            out_specs=(spec_data,) * 8,
+            out_specs=spec_data,
             check_vma=False,
         )(
             seed1[:, None], seed2[:, None], t_packed, db_b, db_s,
@@ -281,8 +283,8 @@ class ShardedJaxPlacer:
             S = S + jnp.where(hit, V_g, 0.0)
             C = C + hit.astype(jnp.int32)
             outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=log_eps)
-            zero = jnp.zeros((1,), jnp.int32)
-            return tuple(o[None] for o in outs) + (zero, zero)
+            zero = jnp.int32(0)
+            return _pack_outputs(outs, zero, zero)[None]
 
         spec_model = P(MODEL_AXIS)
         spec_data = P(DATA_AXIS)
@@ -290,7 +292,7 @@ class ShardedJaxPlacer:
             block,
             mesh=mesh,
             in_specs=(spec_model,) * 5 + (spec_data,) * 5,
-            out_specs=(spec_data,) * 8,
+            out_specs=spec_data,
             check_vma=False,
         )(
             seed1[:, None], seed2[:, None], t_packed, plane_s, plane_c,
@@ -353,9 +355,14 @@ class ShardedJaxPlacer:
                 np.stack(m_stack),
                 R=R, K=K, Wmax=Wmax, Amax=Amax,
             )
-            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = (
-                jax.device_get(out)
-            )
+            stacked = np.asarray(out)  # (n_data, R+1, 4K+2) -- one transfer
+            per_g = [unpack_outputs(stacked[g], K) for g in range(self.n_data)]
+            scores_k = np.stack([u[0] for u in per_g])
+            idx_k = np.stack([u[1] for u in per_g])
+            counts_k = np.stack([u[2] for u in per_g])
+            wr_k = np.stack([u[3] for u in per_g])
+            n_touched = np.stack([u[4] for u in per_g])
+            zero_sum = np.stack([u[5] for u in per_g])
             return self._assemble_groups(
                 groups, toks, scores_k, idx_k, counts_k, wr_k, n_touched,
                 zero_sum, K, sequence_map,
@@ -399,15 +406,22 @@ class ShardedJaxPlacer:
                 stack(6), stack(7),
                 R=R, K=K, Pb=P_budget, PAb=PA_budget,
             )
-            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, e_tot, a_tot) = (
-                jax.device_get(out)
-            )
-            if e_tot.max() <= P_budget and a_tot.max() <= PA_budget:
+            stacked = np.asarray(out)  # (n_data, R+1, 4K+2) -- one transfer
+            per_g = [unpack_outputs(stacked[g], K) for g in range(self.n_data)]
+            scores_k = np.stack([u[0] for u in per_g])
+            idx_k = np.stack([u[1] for u in per_g])
+            counts_k = np.stack([u[2] for u in per_g])
+            wr_k = np.stack([u[3] for u in per_g])
+            n_touched = np.stack([u[4] for u in per_g])
+            zero_sum = np.stack([u[5] for u in per_g])
+            e_tot = max(u[6] for u in per_g)
+            a_tot = max(u[7] for u in per_g)
+            if e_tot <= P_budget and a_tot <= PA_budget:
                 break
-            if e_tot.max() > P_budget:
-                P_budget = _bucket(int(e_tot.max()), cfg.min_bucket)
-            if a_tot.max() > PA_budget:
-                PA_budget = _bucket(int(a_tot.max()), cfg.min_bucket)
+            if e_tot > P_budget:
+                P_budget = _bucket(int(e_tot), cfg.min_bucket)
+            if a_tot > PA_budget:
+                PA_budget = _bucket(int(a_tot), cfg.min_bucket)
 
         return self._assemble_groups(
             groups, toks, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum,

@@ -164,3 +164,43 @@ class TestSubcommands:
         runner = CliRunner()
         r = runner.invoke(epik, ["ppdiff", "--help"])
         assert r.exit_code == 0
+
+
+class TestResume:
+    def test_resume_continues(self, fixture_dir, tmp_path):
+        out = tmp_path / "res"
+        out.mkdir()
+        runner = CliRunner()
+        args = ["place", "-i", str(fixture_dir / "DB.eptk"), "-o", str(out),
+                "--batch-size", "10", str(fixture_dir / "q.fasta")]
+        r = runner.invoke(epik, args, catch_exceptions=False)
+        assert r.exit_code == 0
+        jp = out / "placements_q.fasta.jplace"
+        full = jp.read_text()
+
+        # simulate a crash after the first batch: truncate mid-second-batch
+        import json as _json
+
+        content = _json.loads(full)
+        # cut the file at ~60% of its length (inside placements)
+        jp.write_text(full[: int(len(full) * 0.6)])
+        r2 = runner.invoke(epik, args + ["--resume"], catch_exceptions=False)
+        assert r2.exit_code == 0, r2.output
+        assert "Resuming:" in r2.output
+        content2 = _json.loads(jp.read_text())
+        names = sorted(nm[0] for p in content2["placements"] for nm in p["nm"])
+        assert names == sorted(nm[0] for p in content["placements"] for nm in p["nm"])
+
+    def test_scan_partial(self, tmp_path):
+        from epik_tpu.io.jplace import scan_partial
+
+        f = tmp_path / "p.jplace"
+        f.write_text('{\n    "placements": [\n        {\n            "p": [\n'
+                     '                [1, -0.5, 0.3, 0.1, 0.2]\n            ],\n'
+                     '            "nm": [\n                ["a", 1],\n'
+                     '                ["b", 1]\n            ]\n        },\n'
+                     '        {\n            "p": [')
+        n, trunc = scan_partial(str(f))
+        assert n == 2
+        text = f.read_text()
+        assert text[:trunc].rstrip().endswith("}")
