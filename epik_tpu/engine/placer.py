@@ -306,7 +306,6 @@ def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
 def _place_batch_device_densedb(
     table,
     plane_s,
-    plane_c,
     e_hi,
     e_lo,
     a_hi,
@@ -328,7 +327,7 @@ def _place_batch_device_densedb(
 
     When (num_keys+1) x B fits the HBM budget, the database is stored as two
     dense planes -- ``plane_s`` float32 scores (0 where a branch is absent)
-    and ``plane_c`` int8 presence indicators -- and the whole hot loop
+    (absent cells exactly 0.0; presence == nonzero) -- and the whole hot loop
     becomes **contiguous row gathers + reductions** instead of random element
     gathers: per read, S = sum of its windows' score rows, C = sum of the
     indicator rows.  This is numerically *identical* to the scalar
@@ -343,11 +342,11 @@ def _place_batch_device_densedb(
     the table; misses map to the all-zero row.
     """
     S, C = dense_exact_sums(
-        table, plane_s, plane_c, e_hi, e_lo, R=R, B=B, Wmax=Wmax,
+        table, plane_s, e_hi, e_lo, R=R, B=B, Wmax=Wmax,
         seed1=seed1, seed2=seed2,
     )
     first, sel_score = dense_amb_firsthit(
-        table, plane_s, plane_c, a_hi, a_lo, R=R, B=B, Amax=Amax,
+        table, plane_s, a_hi, a_lo, R=R, B=B, Amax=Amax,
         seed1=seed1, seed2=seed2,
     )
     hit = first < _ORDER_INF
@@ -362,9 +361,16 @@ def _place_batch_device_densedb(
     return _pack_outputs(outs, zero, zero)
 
 
-def dense_exact_sums(table, plane_s, plane_c, e_hi, e_lo, *, R, B, Wmax,
-                     seed1, seed2):
-    """Per-read (S, C) sums from dense planes (shard-composable: psum both)."""
+def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2):
+    """Per-read (S, C) sums from the dense score plane (shard-composable:
+    psum both).
+
+    A single f32 plane serves both roles: absent (branch, key) cells hold
+    exactly 0.0 and presence is ``gathered != 0`` -- stored scores of
+    exactly 0.0 (P(kmer|branch) == 1) are nudged to the smallest negative
+    subnormal at plane build, which is far below every tolerance.  This
+    halves the gather traffic versus a separate indicator plane.
+    """
     f32 = jnp.float32
     i32 = jnp.int32
     zero_row = plane_s.shape[0] - 1
@@ -377,8 +383,9 @@ def dense_exact_sums(table, plane_s, plane_c, e_hi, e_lo, *, R, B, Wmax,
     def w_body(i, acc):
         S, C = acc
         chunk = jax.lax.dynamic_slice(rows, (0, i * W_CH), (R, W_CH))
-        S = S + jnp.sum(plane_s[chunk], axis=1)
-        C = C + jnp.sum(plane_c[chunk].astype(i32), axis=1)
+        g = plane_s[chunk]  # (R, W_CH, B)
+        S = S + jnp.sum(g, axis=1)
+        C = C + jnp.sum((g != 0).astype(i32), axis=1)
         return S, C
 
     return jax.lax.fori_loop(
@@ -387,7 +394,7 @@ def dense_exact_sums(table, plane_s, plane_c, e_hi, e_lo, *, R, B, Wmax,
     )
 
 
-def dense_amb_firsthit(table, plane_s, plane_c, a_hi, a_lo, *, R, B, Amax,
+def dense_amb_firsthit(table, plane_s, a_hi, a_lo, *, R, B, Amax,
                        seed1, seed2):
     """Ambiguous first-hit from dense planes (quirks Q6/Q7).
 
@@ -406,12 +413,13 @@ def dense_amb_firsthit(table, plane_s, plane_c, a_hi, a_lo, *, R, B, Amax,
     def a_body(i, carry):
         first, sel = carry
         chunk = jax.lax.dynamic_slice(arows, (0, i * A_CH), (R, A_CH))
-        ind = plane_c[chunk] > 0  # (R, A_CH, B)
+        g = plane_s[chunk]  # (R, A_CH, B); one gather serves both roles
+        ind = g != 0
         col = jax.lax.broadcasted_iota(i32, (R, A_CH, B), 1) + i * A_CH
         cand = jnp.where(ind, col, _ORDER_INF)
         cfirst = jnp.min(cand, axis=1)
         argc = jnp.argmin(cand, axis=1)  # (R, B) column within chunk
-        cscore = jnp.take_along_axis(plane_s[chunk], argc[:, None, :], axis=1)[:, 0, :]
+        cscore = jnp.take_along_axis(g, argc[:, None, :], axis=1)[:, 0, :]
         better = cfirst < first
         return jnp.where(better, cfirst, first), jnp.where(better, cscore, sel)
 
@@ -522,7 +530,7 @@ class JaxPlacer:
 
         # dense-DB planes: the bandwidth-optimal layout when they fit HBM
         n_keys = db.num_kmers
-        plane_bytes = (n_keys + 1) * self.B * 5  # f32 scores + int8 indicators
+        plane_bytes = (n_keys + 1) * self.B * 4  # one f32 score plane
         cfg_dense = self.config.dense_db
         # an explicit accumulate choice pins the CSR path; only "auto" allows
         # the dense planes to take over
@@ -541,15 +549,15 @@ class JaxPlacer:
                 np.arange(n_keys, dtype=np.int32), lens.astype(np.int64)
             )
             br = db.branches.astype(np.int32)
+            # presence is encoded as nonzero: nudge exact-0.0 stored scores
+            # (P == 1) to the smallest negative subnormal
+            sc = np.where(
+                db.scores == 0.0, np.float32(np.nextafter(0, -1)), db.scores
+            ).astype(np.float32)
             self._plane_s = (
                 jnp.zeros((n_keys + 1, self.B), jnp.float32)
                 .at[rows_per_posting, br]
-                .set(jnp.asarray(db.scores))
-            )
-            self._plane_c = (
-                jnp.zeros((n_keys + 1, self.B), jnp.int8)
-                .at[rows_per_posting, br]
-                .set(jnp.int8(1))
+                .set(jnp.asarray(sc))
             )
 
     # -- host-side batch staging ----------------------------------------------
@@ -638,7 +646,7 @@ class JaxPlacer:
             e_hi, e_lo = self._key_matrix(tokens.exact_keys, tokens.exact_read, R, Wmax)
             a_hi, a_lo = self._key_matrix(tokens.amb_keys, tokens.amb_read, R, Amax)
             out = _place_batch_device_densedb(
-                self._dev_table, self._plane_s, self._plane_c,
+                self._dev_table, self._plane_s,
                 jnp.asarray(e_hi), jnp.asarray(e_lo),
                 jnp.asarray(a_hi), jnp.asarray(a_lo), jnp.asarray(m_f32),
                 R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,

@@ -76,8 +76,8 @@ class _ShardedDB:
     scores: np.ndarray  # [n_model, Pmax] float32
     seeds: list[tuple[int, int]]
     avg_plen: float
-    plane_s: np.ndarray | None = None  # [n_model, rows_max+1, B] f32 (dense)
-    plane_c: np.ndarray | None = None  # [n_model, rows_max+1, B] int8
+    plane_s: np.ndarray | None = None  # [n_model, rows_max+1, B] f32 (dense;
+    # absent cells exactly 0.0, presence == nonzero)
 
 
 def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
@@ -119,12 +119,10 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
             t = build_table(keys, np.arange(keys.shape[0], dtype=np.uint32),
                             lens, min_buckets=nb_target)
             ps = np.zeros((rows_max + 1, B), np.float32)
-            pc = np.zeros((rows_max + 1, B), np.int8)
             rpp = np.repeat(np.arange(keys.shape[0]), lens)
-            ps[rpp, branches.astype(np.int64)] = scores
-            pc[rpp, branches.astype(np.int64)] = 1
+            sc = np.where(scores == 0.0, np.float32(np.nextafter(0, -1)), scores)
+            ps[rpp, branches.astype(np.int64)] = sc
             planes_s.append(ps)
-            planes_c.append(pc)
         else:
             t = build_table(keys, local_off[:-1], lens, min_buckets=nb_target)
         tables.append(t)
@@ -143,7 +141,6 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
         seeds=[(t.seed1, t.seed2) for t in tables],
         avg_plen=float(lens_all.mean()) if lens_all.size else 1.0,
         plane_s=np.stack(planes_s) if dense else None,
-        plane_c=np.stack(planes_c) if dense else None,
     )
 
 
@@ -177,7 +174,7 @@ class ShardedJaxPlacer:
         mean = np.where(num > 1, tot / np.maximum(num, 1), 0.0)
         self.pendant = mean + self.distal
 
-        plane_bytes = (db.num_kmers + self.n_model) * self.B * 5
+        plane_bytes = (db.num_kmers + self.n_model) * self.B * 4
         cfgd = self.config.dense_db
         self._dense_db = cfgd == "on" or (
             cfgd == "auto"
@@ -246,7 +243,7 @@ class ShardedJaxPlacer:
     @functools.partial(
         jax.jit, static_argnames=("self", "R", "K", "Wmax", "Amax")
     )
-    def _sharded_kernel_dense(self, seed1, seed2, t_packed, plane_s, plane_c,
+    def _sharded_kernel_dense(self, seed1, seed2, t_packed, plane_s,
                               e_hi, e_lo, a_hi, a_lo, m_f32,
                               R: int, K: int, Wmax: int, Amax: int):
         """Dense-plane sharded step: per-shard row-gather sums merged with
@@ -258,17 +255,17 @@ class ShardedJaxPlacer:
         eps = self.eps
         log_eps = self.log_eps
 
-        def block(seed1, seed2, t_packed, plane_s, plane_c,
+        def block(seed1, seed2, t_packed, plane_s,
                   e_hi, e_lo, a_hi, a_lo, m):
             table = t_packed[0]
             s1 = seed1[0, 0]
             s2 = seed2[0, 0]
             S, C = dense_exact_sums(
-                table, plane_s[0], plane_c[0], e_hi[0], e_lo[0],
+                table, plane_s[0], e_hi[0], e_lo[0],
                 R=R, B=B, Wmax=Wmax, seed1=s1, seed2=s2,
             )
             first, sel = dense_amb_firsthit(
-                table, plane_s[0], plane_c[0], a_hi[0], a_lo[0],
+                table, plane_s[0], a_hi[0], a_lo[0],
                 R=R, B=B, Amax=Amax, seed1=s1, seed2=s2,
             )
             S = jax.lax.psum(S, MODEL_AXIS)
@@ -291,11 +288,11 @@ class ShardedJaxPlacer:
         return jax.shard_map(
             block,
             mesh=mesh,
-            in_specs=(spec_model,) * 5 + (spec_data,) * 5,
+            in_specs=(spec_model,) * 4 + (spec_data,) * 5,
             out_specs=spec_data,
             check_vma=False,
         )(
-            seed1[:, None], seed2[:, None], t_packed, plane_s, plane_c,
+            seed1[:, None], seed2[:, None], t_packed, plane_s,
             e_hi, e_lo, a_hi, a_lo, m_f32,
         )
 
@@ -350,7 +347,6 @@ class ShardedJaxPlacer:
             out = self._sharded_kernel_dense(
                 jnp.asarray(self._seed1), jnp.asarray(self._seed2),
                 jnp.asarray(sdb.packed), jnp.asarray(sdb.plane_s),
-                jnp.asarray(sdb.plane_c),
                 stackm(0), stackm(1), stackm(2), stackm(3),
                 np.stack(m_stack),
                 R=R, K=K, Wmax=Wmax, Amax=Amax,
