@@ -71,9 +71,14 @@ def epik():
 @click.option("--resume", is_flag=True, default=False,
               help="Resume an interrupted run: keep complete placements in the "
                    "existing output file and continue from the next read.")
+@click.option("--verbose", is_flag=True, default=False,
+              help="Print the pipeline stage-time breakdown.")
+@click.option("--profile-dir", type=click.Path(), default=None,
+              help="Capture a jax profiler trace of the run into this directory.")
 @click.argument("input_file", type=click.Path(exists=True))
 def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
-          keep_at_most, keep_factor, engine, platform, resume, input_file):
+          keep_at_most, keep_factor, engine, platform, resume, verbose,
+          profile_dir, input_file):
     """Places .fasta files using the input phylo-k-mer database.
 
     epik place -s [nucl|amino] -i DB.eptk -o output file.fasta
@@ -85,7 +90,7 @@ def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
     rc = place_queries(
         database, states, omega, mu, outputdir, threads, max_ram, input_file,
         batch_size=batch_size, keep_at_most=keep_at_most, keep_factor=keep_factor,
-        engine=engine, resume=resume,
+        engine=engine, resume=resume, verbose=verbose, profile_dir=profile_dir,
     )
     if rc:
         raise SystemExit(rc)
@@ -130,7 +135,8 @@ def make_output_filename(input_file: str, output_dir: str) -> str:
 
 def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
                   input_file, batch_size=2000, keep_at_most=7, keep_factor=0.01,
-                  engine="jax", invocation=None, resume=False) -> int:
+                  engine="jax", invocation=None, resume=False, verbose=False,
+                  profile_dir=None) -> int:
     """Full pipeline orchestration (reference: main.cpp:237-383)."""
     if not (0.0 <= mu <= 1.0):
         click.echo("Error: Mu has to a value in [0, 1]", err=True)
@@ -185,9 +191,11 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
         placer = ReferencePlacer(db, tree, keep_at_most=keep_at_most, keep_factor=keep_factor)
         engine_name = "scalar (oracle)"
     else:
-        from ..engine.placer import JaxPlacer
+        from ..engine.placer import JaxPlacer, PlacerConfig
 
-        placer = JaxPlacer(db, tree, keep_at_most=keep_at_most, keep_factor=keep_factor)
+        cfg = PlacerConfig(host_threads=max(1, threads))
+        placer = JaxPlacer(db, tree, keep_at_most=keep_at_most,
+                           keep_factor=keep_factor, config=cfg)
         import jax
 
         engine_name = f"jax/{jax.default_backend()} ({len(jax.devices())} device(s))"
@@ -232,8 +240,20 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
 
     from ..engine.pipeline import run_pipeline
 
-    stats = run_pipeline(placer, reader, writer, progress=progress)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+    try:
+        stats = run_pipeline(placer, reader, writer, progress=progress)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
     writer.end()
+    if verbose:
+        click.echo(f"Pipeline: {stats.summary()}")
 
     bar.update(reader.bytes_read(), prefix="Done. ",
                postfix=to_human_readable(stats.num_seq_placed))

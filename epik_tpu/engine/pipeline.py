@@ -24,11 +24,25 @@ __all__ = ["run_pipeline", "PipelineStats"]
 
 
 class PipelineStats:
+    """Throughput + stage-time breakdown (the metrics surface; the reference
+    has only the per-batch seq/s meter, SURVEY.md section 5.1)."""
+
     def __init__(self):
         self.num_seq_placed = 0
         self.num_iterations = 0
         self.average_speed = 0.0
         self.wall_seconds = 0.0
+        self.dispatch_seconds = 0.0  # tokenize + pad + async device submit
+        self.wait_seconds = 0.0  # device sync + fetch + assemble
+        self.write_seconds = 0.0  # jplace serialization
+
+    def summary(self) -> str:
+        return (
+            f"batches={self.num_iterations} reads={self.num_seq_placed} "
+            f"wall={self.wall_seconds:.2f}s "
+            f"dispatch={self.dispatch_seconds:.2f}s "
+            f"wait={self.wait_seconds:.2f}s write={self.write_seconds:.2f}s"
+        )
 
 
 def _reader_thread(reader, q: queue.Queue, depth: int):
@@ -59,9 +73,13 @@ def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> 
 
     def flush(p):
         handle, bsize, t_start = p
+        t0 = time.monotonic()
         placed = placer.place_wait(handle) if has_async else handle
+        stats.wait_seconds += time.monotonic() - t0
         ms = max((time.monotonic() - t_start) * 1000.0, 1.0)
+        t0 = time.monotonic()
         writer << placed
+        stats.write_seconds += time.monotonic() - t0
         seq_per_second = 1000.0 * bsize / ms
         stats.average_speed += seq_per_second
         stats.num_seq_placed += bsize
@@ -77,6 +95,7 @@ def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> 
             break
         t_start = time.monotonic()
         handle = placer.place_async(batch) if has_async else placer.place(batch)
+        stats.dispatch_seconds += time.monotonic() - t_start
         if pending is not None:
             flush(pending)
         pending = (handle, len(batch), t_start)

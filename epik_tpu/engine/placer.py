@@ -73,6 +73,9 @@ class PlacerConfig:
     #: on when the planes fit dense_db_budget bytes; "on"/"off" force)
     dense_db: str = "auto"
     dense_db_budget: int = 6 << 30
+    #: host worker threads for tokenization (the reference's -j surface,
+    #: main.cpp:213; the C++ tokenizer releases the GIL so threads scale)
+    host_threads: int = 1
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -523,6 +526,7 @@ class JaxPlacer:
         self._max_plen = int(lens.max()) if lens.size else 0
 
         self._native_tok = None  # resolved lazily on first batch
+        self._tok_pool = None
         mode = self.config.accumulate
         backend = jax.default_backend()
         self._dense = mode == "matmul" or (mode == "auto" and backend == "tpu")
@@ -571,7 +575,11 @@ class JaxPlacer:
         return hi, lo
 
     def _tokenize(self, seqs):
-        """Native C++ tokenizer when built; numpy single-pass otherwise."""
+        """Native C++ tokenizer when built; numpy single-pass otherwise.
+
+        With ``config.host_threads > 1`` the batch splits into chunks
+        tokenized concurrently (ctypes releases the GIL during the C call)
+        and the streams are re-merged with read ids offset."""
         if self._native_tok is None:
             try:
                 from ..native import native_available, native_tokenize_batch
@@ -579,9 +587,40 @@ class JaxPlacer:
                 self._native_tok = native_tokenize_batch if native_available() else False
             except Exception:
                 self._native_tok = False
-        if self._native_tok:
-            return self._native_tok(seqs, self.k, self.alphabet)
-        return tokenize_batch(seqs, self.k, self.alphabet)
+        tok = self._native_tok or tokenize_batch
+        nt = self.config.host_threads
+        if nt <= 1 or len(seqs) < 2 * nt:
+            return tok(seqs, self.k, self.alphabet)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..core.kmers import BatchTokens
+
+        chunk = -(-len(seqs) // nt)
+        parts = [seqs[i : i + chunk] for i in range(0, len(seqs), chunk)]
+        if self._tok_pool is None:
+            self._tok_pool = ThreadPoolExecutor(max_workers=nt)
+        outs = list(self._tok_pool.map(lambda p: tok(p, self.k, self.alphabet), parts))
+        # merge with read-id offsets
+        off = 0
+        e_keys, e_read, a_keys, a_read, a_order = [], [], [], [], []
+        for t in outs:
+            e_keys.append(t.exact_keys)
+            e_read.append(t.exact_read + off)
+            a_keys.append(t.amb_keys)
+            a_read.append(t.amb_read + off)
+            a_order.append(t.amb_order)
+            off += t.num_reads
+        cat = np.concatenate
+        return BatchTokens(
+            num_reads=off,
+            num_windows=cat([t.num_windows for t in outs]),
+            seq_lengths=cat([t.seq_lengths for t in outs]),
+            exact_keys=cat(e_keys) if e_keys else np.empty(0, np.uint64),
+            exact_read=cat(e_read).astype(np.int32),
+            amb_keys=cat(a_keys) if a_keys else np.empty(0, np.uint64),
+            amb_read=cat(a_read).astype(np.int32),
+            amb_order=cat(a_order).astype(np.int32),
+        )
 
     @staticmethod
     def _key_matrix(keys: np.ndarray, read: np.ndarray, R: int, width: int):

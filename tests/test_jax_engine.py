@@ -319,3 +319,15 @@ class TestDenseDB:
         tree = parse_newick(db.tree())
         p = JaxPlacer(db, tree, config=PlacerConfig(dense_db="off"))
         assert not p._dense_db
+
+
+class TestHostThreads:
+    def test_threaded_tokenize_matches(self):
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=44)
+        tree = parse_newick(db.tree())
+        p1 = JaxPlacer(db, tree)
+        p4 = JaxPlacer(db, tree, config=PlacerConfig(host_threads=4))
+        reads = random_reads(40, length=30, seed=45, ambig_rate=0.05)
+        assert_equivalent(p1.place(reads), p4.place(reads))
