@@ -63,9 +63,13 @@ def epik():
               help="Number of branches to report.")
 @click.option("--keep-factor", type=float, default=0.01, show_default=True,
               help="Minimum LWR to report.")
-@click.option("--engine", type=click.Choice(["jax", "reference"]), default="jax",
-              show_default=True,
-              help="Placement engine: TPU/XLA pipeline or the scalar oracle.")
+@click.option("--engine", type=click.Choice(["jax", "sharded", "reference"]),
+              default="jax", show_default=True,
+              help="Placement engine: single-device TPU/XLA pipeline, the "
+                   "multi-device sharded engine, or the scalar oracle.")
+@click.option("--n-model", type=int, default=1, show_default=True,
+              help="Model-axis shards for --engine sharded (database "
+                   "hash-sharded when > 1); remaining devices go data-parallel.")
 @click.option("--platform", type=str, default=None,
               help="Force a jax platform (e.g. cpu, tpu). Default: jax's choice.")
 @click.option("--resume", is_flag=True, default=False,
@@ -77,7 +81,7 @@ def epik():
               help="Capture a jax profiler trace of the run into this directory.")
 @click.argument("input_file", type=click.Path(exists=True))
 def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
-          keep_at_most, keep_factor, engine, platform, resume, verbose,
+          keep_at_most, keep_factor, engine, n_model, platform, resume, verbose,
           profile_dir, input_file):
     """Places .fasta files using the input phylo-k-mer database.
 
@@ -91,6 +95,7 @@ def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
         database, states, omega, mu, outputdir, threads, max_ram, input_file,
         batch_size=batch_size, keep_at_most=keep_at_most, keep_factor=keep_factor,
         engine=engine, resume=resume, verbose=verbose, profile_dir=profile_dir,
+        n_model=n_model,
     )
     if rc:
         raise SystemExit(rc)
@@ -136,7 +141,7 @@ def make_output_filename(input_file: str, output_dir: str) -> str:
 def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
                   input_file, batch_size=2000, keep_at_most=7, keep_factor=0.01,
                   engine="jax", invocation=None, resume=False, verbose=False,
-                  profile_dir=None) -> int:
+                  profile_dir=None, n_model=1) -> int:
     """Full pipeline orchestration (reference: main.cpp:237-383)."""
     if not (0.0 <= mu <= 1.0):
         click.echo("Error: Mu has to a value in [0, 1]", err=True)
@@ -190,6 +195,21 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
 
         placer = ReferencePlacer(db, tree, keep_at_most=keep_at_most, keep_factor=keep_factor)
         engine_name = "scalar (oracle)"
+    elif engine == "sharded":
+        import jax
+
+        from ..engine.placer import PlacerConfig
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharding import ShardedJaxPlacer
+
+        mesh = make_mesh(n_model=n_model)
+        cfg = PlacerConfig(host_threads=max(1, threads))
+        placer = ShardedJaxPlacer(db, tree, mesh, keep_at_most=keep_at_most,
+                                  keep_factor=keep_factor, config=cfg)
+        engine_name = (
+            f"jax/{jax.default_backend()} sharded mesh "
+            f"{mesh.shape['data']}x{mesh.shape['model']}"
+        )
     else:
         from ..engine.placer import JaxPlacer, PlacerConfig
 

@@ -204,3 +204,31 @@ class TestResume:
         assert n == 2
         text = f.read_text()
         assert text[:trunc].rstrip().endswith("}")
+
+
+class TestShardedEngine:
+    def test_place_sharded(self, fixture_dir):
+        out = fixture_dir / "osh"
+        out.mkdir(exist_ok=True)
+        runner = CliRunner()
+        r = runner.invoke(
+            epik,
+            ["place", "-i", str(fixture_dir / "DB.eptk"), "-o", str(out),
+             "--engine", "sharded", "--n-model", "2",
+             str(fixture_dir / "q.fasta")],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "sharded mesh 4x2" in r.output
+        jp1 = out / "placements_q.fasta.jplace"
+        # parity vs the single-device engine output
+        out2 = fixture_dir / "osh1"
+        out2.mkdir(exist_ok=True)
+        runner.invoke(
+            epik,
+            ["place", "-i", str(fixture_dir / "DB.eptk"), "-o", str(out2),
+             str(fixture_dir / "q.fasta")],
+            catch_exceptions=False,
+        )
+        res = jplace_diff(str(jp1), str(out2 / "placements_q.fasta.jplace"))
+        assert res.clean, res.mismatches[:3]
