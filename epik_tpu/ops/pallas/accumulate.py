@@ -31,7 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 __all__ = ["segment_accumulate", "NH_LANES"]
 

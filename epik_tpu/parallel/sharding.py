@@ -72,8 +72,8 @@ class _ShardedDB:
     """Stacked per-shard tables + posting arrays (leading model axis)."""
 
     packed: np.ndarray  # [n_model, nb, 4*BUCKET] uint32 (packed cuckoo rows)
-    branches: np.ndarray  # [n_model, Pmax] int32
-    scores: np.ndarray  # [n_model, Pmax] float32
+    postings: np.ndarray  # [n_model, Pmax, 2] uint32 rows [branch | score bits]
+    row_off: np.ndarray  # [n_model, rows_pad] int32 local CSR offsets
     seeds: list[tuple[int, int]]
     avg_plen: float
     plane_s: np.ndarray | None = None  # [n_model, rows_max+1, B] f32 (dense;
@@ -124,20 +124,29 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
             ps[rpp, branches.astype(np.int64)] = sc
             planes_s.append(ps)
         else:
-            t = build_table(keys, local_off[:-1], lens, min_buckets=nb_target)
+            # payload = local k-mer row index (byte offsets via row_off gather)
+            t = build_table(keys, np.arange(keys.shape[0], dtype=np.uint32),
+                            lens, min_buckets=nb_target)
         tables.append(t)
     p_max = max(1, max(x[2].shape[0] for x in per_shard))
+    rows_pad = max(len(x[1]) for x in per_shard)
     stack = lambda f: np.stack([f(i) for i in range(n_model)])
-    branches_pad = stack(
-        lambda i: np.pad(per_shard[i][2].astype(np.int32), (0, p_max - per_shard[i][2].shape[0]))
-    )
-    scores_pad = stack(
-        lambda i: np.pad(per_shard[i][3].astype(np.float32), (0, p_max - per_shard[i][3].shape[0]))
-    )
+
+    def pack_postings(i):
+        br, sc = per_shard[i][2], per_shard[i][3]
+        pp = np.stack([br.astype(np.uint32), sc.astype(np.float32).view(np.uint32)], axis=1)
+        return np.pad(pp, ((0, p_max - pp.shape[0]), (0, 0)))
+
     return _ShardedDB(
         packed=stack(lambda i: tables[i].packed()),
-        branches=branches_pad,
-        scores=scores_pad,
+        postings=stack(pack_postings),
+        row_off=stack(
+            lambda i: np.pad(
+                per_shard[i][1].astype(np.int32),
+                (0, rows_pad - len(per_shard[i][1])),
+                mode="edge",
+            )
+        ),
         seeds=[(t.seed1, t.seed2) for t in tables],
         avg_plen=float(lens_all.mean()) if lens_all.size else 1.0,
         plane_s=np.stack(planes_s) if dense else None,
@@ -193,23 +202,23 @@ class ShardedJaxPlacer:
     # -- device kernel ---------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnames=("self", "R", "K", "Pb", "PAb"))
-    def _sharded_kernel(self, seed1, seed2, t_packed, db_b, db_s,
+    def _sharded_kernel(self, seed1, seed2, t_packed, db_post, row_off,
                         e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
                         R: int, K: int, Pb: int, PAb: int):
         B, k = self.B, self.k
         mesh = self.mesh
 
-        def block(seed1, seed2, t_packed, db_b, db_s,
+        def block(seed1, seed2, t_packed, db_post, row_off,
                   e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m):
             table = t_packed[0]
             s1 = seed1[0, 0]
             s2 = seed2[0, 0]
             S, C, e_total = accumulate_exact(
-                table, db_b[0], db_s[0], e_hi[0], e_lo[0], e_read[0],
+                table, db_post[0], row_off[0], e_hi[0], e_lo[0], e_read[0],
                 R=R, B=B, P=Pb, seed1=s1, seed2=s2,
             )
             first, V, a_total = accumulate_amb_firsthit(
-                table, db_b[0], db_s[0], a_hi[0], a_lo[0], a_read[0], a_order[0],
+                table, db_post[0], row_off[0], a_hi[0], a_lo[0], a_read[0], a_order[0],
                 R=R, B=B, PA=PAb, k=k, seed1=s1, seed2=s2, eps=self.eps,
             )
             # merge partial matrices over the model axis (ICI collectives)
@@ -235,7 +244,7 @@ class ShardedJaxPlacer:
             out_specs=spec_data,
             check_vma=False,
         )(
-            seed1[:, None], seed2[:, None], t_packed, db_b, db_s,
+            seed1[:, None], seed2[:, None], t_packed, db_post, row_off,
             e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
         )
         return out
@@ -397,7 +406,7 @@ class ShardedJaxPlacer:
             out = self._sharded_kernel(
                 jnp.asarray(self._seed1), jnp.asarray(self._seed2),
                 jnp.asarray(sdb.packed),
-                jnp.asarray(sdb.branches), jnp.asarray(sdb.scores),
+                jnp.asarray(sdb.postings), jnp.asarray(sdb.row_off),
                 stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
                 stack(6), stack(7),
                 R=R, K=K, Pb=P_budget, PAb=PA_budget,

@@ -33,7 +33,6 @@ import argparse
 import hashlib
 import json
 import os
-import sys
 
 import numpy as np
 
