@@ -340,6 +340,61 @@ def convert(src, dst):
 
 
 @epik.command()
+@click.argument("database", type=click.Path(exists=True))
+def stats(database):
+    """Print database parameters (the driver's stdout block,
+    reference: main.cpp:285-292) without placing anything."""
+    from ..io.db import load as load_db
+
+    db = load_db(database)
+    click.echo("Database parameters:")
+    click.echo(f"\tSequence type: {db.sequence_type}")
+    click.echo(f"\tk: {db.kmer_size}")
+    click.echo(f"\tomega: {db.omega:g}")
+    click.echo(f"\tPositions loaded: {'true' if db.positions_loaded else 'false'}")
+    click.echo(f"\tk-mers: {db.num_kmers}")
+    click.echo(f"\tEntries: {to_human_readable(db.get_num_entries_total())}")
+    click.echo(f"\tMax posting list: {db.max_posting_len()}")
+    from ..core.tree import parse_newick as _pn
+
+    tree = _pn(db.tree())
+    click.echo(f"\tTree: {len(tree.leaves())} leaves, {tree.get_node_count()} nodes")
+
+
+@epik.command("build-db")
+@click.option("--tree", "tree_file", required=True, type=click.Path(exists=True),
+              help="Reference tree (newick).")
+@click.option("--entries", "entries_file", required=True, type=click.Path(exists=True),
+              help="JSON file: {kmer: [[branch, log10_score], ...], ...}.")
+@click.option("-k", "--kmer-size", type=int, required=True)
+@click.option("--omega", type=float, default=1.5, show_default=True)
+@click.option("-s", "--states", type=click.Choice(["nucl", "amino"]), default="nucl",
+              show_default=True)
+@click.argument("output", type=click.Path())
+def build_db_cmd(tree_file, entries_file, kmer_size, omega, states, output):
+    """Build a .eptk database from explicit phylo-k-mer scores.
+
+    Database construction from alignments is IPK's job (out of scope for
+    the reference placement tool too, reference README.md:113); this
+    command packages externally computed phylo-k-mer scores.
+    """
+    import json as _json
+
+    from ..io.build import build_db
+    from ..io.db import save
+
+    with open(entries_file) as f:
+        raw = _json.load(f)
+    entries = {k: [(int(b), float(sc)) for b, sc in v] for k, v in raw.items()}
+    with open(tree_file) as f:
+        newick = f.read().strip()
+    db = build_db(entries, newick, kmer_size=kmer_size, omega=omega,
+                  sequence_type=states)
+    save(db, output)
+    click.echo(f"Wrote {output}: {db.num_kmers} k-mers, {db.num_entries} entries")
+
+
+@epik.command()
 @click.option("--config", type=click.Path(exists=True), default=None,
               help="JSON case config (default: built-in cases)")
 @click.option("--workdir", default="/tmp/epik_tpu_ppdiff")

@@ -232,3 +232,31 @@ class TestShardedEngine:
         )
         res = jplace_diff(str(jp1), str(out2 / "placements_q.fasta.jplace"))
         assert res.clean, res.mismatches[:3]
+
+
+class TestUtilityCommands:
+    def test_stats(self, fixture_dir):
+        runner = CliRunner()
+        r = runner.invoke(epik, ["stats", str(fixture_dir / "DB.eptk")])
+        assert r.exit_code == 0, r.output
+        assert "Sequence type: nucl" in r.output
+        assert "k-mers: 1024" in r.output
+
+    def test_build_db(self, tmp_path):
+        import json as _json
+
+        (tmp_path / "tree.nwk").write_text("((A:0.1,B:0.2):0.3,C:0.4):0.0;")
+        (tmp_path / "entries.json").write_text(
+            _json.dumps({"ACG": [[0, -1.0], [2, -2.0]], "CGT": [[1, -0.5]]})
+        )
+        runner = CliRunner()
+        out = tmp_path / "out.eptk"
+        r = runner.invoke(epik, [
+            "build-db", "--tree", str(tmp_path / "tree.nwk"),
+            "--entries", str(tmp_path / "entries.json"), "-k", "3", str(out),
+        ])
+        assert r.exit_code == 0, r.output
+        from epik_tpu.io.db import load
+
+        db = load(out)
+        assert db.num_kmers == 2 and db.num_entries == 3
