@@ -28,42 +28,39 @@ def main() -> None:
     import numpy as np
 
     t0 = time.time()
-    from epik_tpu.core.alphabet import DNA
     from epik_tpu.core.tree import parse_newick
     from epik_tpu.engine.placer import JaxPlacer
     from epik_tpu.engine.reference import ReferencePlacer
-    from epik_tpu.io.build import random_db
+    from epik_tpu.io.build import reads_from_reference, reference_like_db
 
     import jax
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    # --- D652-scale synthetic fixture ----------------------------------------
+    # --- D652-scale fixture with realistic window hit rate --------------------
+    # keys = k-mers of a simulated reference; reads = mutated substrings, so
+    # ~90% of windows hit the DB (uniformly random keys would make almost
+    # every overlapping window miss and understate the work)
     NUM_LEAVES = 652
     K = 10
-    NUM_KMERS = 500_000
+    REF_LEN = 520_000
     MEAN_PLEN = 12.0
     NUM_READS = 20_000
     READ_LEN = 150
     BATCH = 4000  # fixed dispatch/fetch overhead amortizes with batch size
 
     log("building synthetic database ...")
-    db = random_db(
-        num_leaves=NUM_LEAVES, kmer_size=K, num_kmers=NUM_KMERS,
-        mean_posting_len=MEAN_PLEN, seed=652, unique_branches=False,
+    db, ref = reference_like_db(
+        num_leaves=NUM_LEAVES, kmer_size=K, ref_length=REF_LEN,
+        mean_posting_len=MEAN_PLEN, seed=652,
     )
     tree = parse_newick(db.tree())
     log(f"db: {db.num_kmers} k-mers, {db.num_entries} postings, "
         f"{tree.get_node_count()} branches ({time.time()-t0:.1f}s)")
 
-    rng = np.random.default_rng(7)
-    n_parts = READ_LEN // K
-    reads = []
-    key_idx = rng.integers(0, db.num_kmers, size=(NUM_READS, n_parts))
-    for i in range(NUM_READS):
-        s = "".join(DNA.decode_key(int(db.keys[j]), K) for j in key_idx[i])
-        reads.append((f"q{i}", s.encode()))
+    reads = reads_from_reference(ref, NUM_READS, length=READ_LEN,
+                                 mutation_rate=0.02, seed=7)
     log(f"reads ready ({time.time()-t0:.1f}s)")
 
     placer = JaxPlacer(db, tree)

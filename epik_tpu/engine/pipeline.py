@@ -67,6 +67,27 @@ def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> 
     t = threading.Thread(target=_reader_thread, args=(reader, q, read_ahead), daemon=True)
     t.start()
 
+    # writer thread: jplace serialization overlaps the next batch's compute;
+    # a single consumer preserves append order
+    wq: queue.Queue = queue.Queue(maxsize=read_ahead)
+    werr: list = []
+
+    def _writer_thread():
+        while True:
+            item = wq.get()
+            if item is None:
+                return
+            t0 = time.monotonic()
+            try:
+                writer << item
+            except BaseException as e:  # surfaced at the end of the run
+                werr.append(e)
+                return
+            stats.write_seconds += time.monotonic() - t0
+
+    wt = threading.Thread(target=_writer_thread, daemon=True)
+    wt.start()
+
     has_async = hasattr(placer, "place_async")
     begin = time.monotonic()
     pending = None  # (pending_handle_or_result, batch_size, t_start)
@@ -77,9 +98,9 @@ def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> 
         placed = placer.place_wait(handle) if has_async else handle
         stats.wait_seconds += time.monotonic() - t0
         ms = max((time.monotonic() - t_start) * 1000.0, 1.0)
-        t0 = time.monotonic()
-        writer << placed
-        stats.write_seconds += time.monotonic() - t0
+        if werr:
+            raise werr[0]
+        wq.put(placed)
         seq_per_second = 1000.0 * bsize / ms
         stats.average_speed += seq_per_second
         stats.num_seq_placed += bsize
@@ -101,6 +122,10 @@ def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> 
         pending = (handle, len(batch), t_start)
     if pending is not None:
         flush(pending)
+    wq.put(None)
+    wt.join()
+    if werr:
+        raise werr[0]
 
     if stats.num_iterations:
         stats.average_speed /= stats.num_iterations

@@ -118,7 +118,8 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
         if dense:
             t = build_table(keys, np.arange(keys.shape[0], dtype=np.uint32),
                             lens, min_buckets=nb_target)
-            ps = np.zeros((rows_max + 1, B), np.float32)
+            bw = -(-B // 128) * 128  # aligned rows gather faster
+            ps = np.zeros((rows_max + 1, bw), np.float32)
             rpp = np.repeat(np.arange(keys.shape[0]), lens)
             sc = np.where(scores == 0.0, np.float32(np.nextafter(0, -1)), scores)
             ps[rpp, branches.astype(np.int64)] = sc
