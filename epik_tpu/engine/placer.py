@@ -839,12 +839,13 @@ class JaxPlacer:
             PA=_bucket(tokens.amb_keys.shape[0] * est, cfg.min_bucket),
             k=self.k, seed1=self.table.seed1, seed2=self.table.seed2,
             log_eps=float(self.log_eps), eps=float(self.eps),
+            dense=self._dense, interpret=self._interpret,
         )
         import functools as _ft
 
         fn = _ft.partial(_place_batch_device, **statics)
         args = (
-            self._dev_table, self._dev_branches, self._dev_scores,
+            self._dev_table, self._dev_postings, self._dev_row_off,
             jnp.asarray(e_hi), jnp.asarray(e_lo),
             jnp.asarray(self._pad_i32(tokens.exact_read, E, R)),
             jnp.asarray(a_hi), jnp.asarray(a_lo),
