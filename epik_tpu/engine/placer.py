@@ -76,6 +76,12 @@ class PlacerConfig:
     #: host worker threads for tokenization (the reference's -j surface,
     #: main.cpp:213; the C++ tokenizer releases the GIL so threads scale)
     host_threads: int = 1
+    #: dense-plane precision: "exact" keeps float32 scores (bit-parity with
+    #: the scalar accumulation); "bf16" halves HBM gather traffic (~2x
+    #: faster) at ~0.4% relative score error -- top-edge rankings are almost
+    #: always unchanged but log-likelihoods drift beyond the 1e-4 parity
+    #: tolerance, so this is opt-in
+    precision: str = "exact"
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -398,7 +404,7 @@ def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2):
         S, C = acc
         chunk = jax.lax.dynamic_slice(rows, (0, i * W_CH), (R, W_CH))
         g = plane_s[chunk]  # (R, W_CH, bw)
-        S = S + jnp.sum(g, axis=1)
+        S = S + jnp.sum(g.astype(f32), axis=1)
         C = C + jnp.sum((g != 0).astype(i32), axis=1)
         return S, C
 
@@ -436,7 +442,7 @@ def dense_amb_firsthit(table, plane_s, a_hi, a_lo, *, R, B, Amax,
         cand = jnp.where(ind, col, _ORDER_INF)
         cfirst = jnp.min(cand, axis=1)
         argc = jnp.argmin(cand, axis=1)  # (R, bw) column within chunk
-        cscore = jnp.take_along_axis(g, argc[:, None, :], axis=1)[:, 0, :]
+        cscore = jnp.take_along_axis(g, argc[:, None, :], axis=1)[:, 0, :].astype(f32)
         better = cfirst < first
         return jnp.where(better, cfirst, first), jnp.where(better, cscore, sel)
 
@@ -585,10 +591,15 @@ class JaxPlacer:
             # rows padded to a 128 multiple: aligned row gathers are ~6%
             # faster and the padding columns read as zeros
             self._plane_w = -(-self.B // 128) * 128
+            plane_dtype = jnp.float32
+            if self.config.precision == "bf16":
+                plane_dtype = jnp.bfloat16
+                # the f32 subnormal nudge would round to bf16 zero
+                sc = np.where(sc == 0.0, np.float32(-1.2e-38), sc)
             self._plane_s = (
-                jnp.zeros((n_keys + 1, self._plane_w), jnp.float32)
+                jnp.zeros((n_keys + 1, self._plane_w), plane_dtype)
                 .at[rows_per_posting, br]
-                .set(jnp.asarray(sc))
+                .set(jnp.asarray(sc).astype(plane_dtype))
             )
 
     # -- host-side batch staging ----------------------------------------------

@@ -331,3 +331,36 @@ class TestHostThreads:
         p4 = JaxPlacer(db, tree, config=PlacerConfig(host_threads=4))
         reads = random_reads(40, length=30, seed=45, ambig_rate=0.05)
         assert_equivalent(p1.place(reads), p4.place(reads))
+
+
+class TestBf16FastMode:
+    def test_bf16_top_edges_close(self):
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=61)
+        tree = parse_newick(db.tree())
+        exact = JaxPlacer(db, tree, config=PlacerConfig(dense_db="on"))
+        fast = JaxPlacer(db, tree, config=PlacerConfig(dense_db="on", precision="bf16"))
+        rng = np.random.default_rng(62)
+        from epik_tpu.core.alphabet import DNA
+
+        recs = [
+            (
+                f"q{i}",
+                "".join(
+                    DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                    for _ in range(6)
+                ).encode(),
+            )
+            for i in range(30)
+        ]
+        o1, o2 = exact.place(recs), fast.place(recs)
+        agree = 0
+        for p1, p2 in zip(o1.placed_seqs, o2.placed_seqs):
+            if p1.placements and p2.placements:
+                agree += p1.placements[0].branch_id == p2.placements[0].branch_id
+                # scores agree to bf16 precision
+                assert p1.placements[0].score == pytest.approx(
+                    p2.placements[0].score, rel=2e-2, abs=2e-2
+                )
+        assert agree >= 28  # best edge stable for nearly all reads
