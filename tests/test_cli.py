@@ -260,3 +260,46 @@ class TestUtilityCommands:
 
         db = load(out)
         assert db.num_kmers == 2 and db.num_entries == 3
+
+
+class TestAminoEndToEnd:
+    def test_place_amino(self, tmp_path):
+        from epik_tpu.core.alphabet import AMINO
+
+        db = random_db(num_leaves=12, kmer_size=4, num_kmers=800, seed=91,
+                       sequence_type="amino")
+        save(db, tmp_path / "aa.eptk")
+        rng = np.random.default_rng(92)
+        with open(tmp_path / "q.fasta", "w") as f:
+            for i in range(15):
+                parts = [
+                    AMINO.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 4)
+                    for _ in range(4)
+                ]
+                f.write(f">p{i}\n{''.join(parts)}\n")
+        out = tmp_path / "out"
+        out.mkdir()
+        runner = CliRunner()
+        r = runner.invoke(epik, [
+            "place", "-i", str(tmp_path / "aa.eptk"), "-s", "amino",
+            "-o", str(out), str(tmp_path / "q.fasta"),
+        ], catch_exceptions=False)
+        assert r.exit_code == 0, r.output
+        assert "Sequence type: amino" in r.output
+        content = json.loads((out / "placements_q.fasta.jplace").read_text())
+        assert len(content["placements"]) >= 1
+        # parity with the oracle
+        r2 = runner.invoke(epik, [
+            "place", "-i", str(tmp_path / "aa.eptk"), "-s", "amino",
+            "-o", str(out), "--engine", "reference", str(tmp_path / "q.fasta"),
+        ], catch_exceptions=False)
+        # same file name: second run overwrote; rerun to diff properly
+        out2 = tmp_path / "out2"
+        out2.mkdir()
+        runner.invoke(epik, [
+            "place", "-i", str(tmp_path / "aa.eptk"), "-s", "amino",
+            "-o", str(out2), str(tmp_path / "q.fasta"),
+        ], catch_exceptions=False)
+        res = jplace_diff(str(out / "placements_q.fasta.jplace"),
+                          str(out2 / "placements_q.fasta.jplace"))
+        assert res.clean
