@@ -152,9 +152,36 @@ def build_table(
         t_off[rows, cols] = off32[src]
         t_len[rows, cols] = len32[src]
 
-        # --- eviction pass for the leftovers ---------------------------------
+        # --- bulk retry rounds: place overflow keys into their alternate
+        # bucket (and back), vectorized; only true double-full stragglers
+        # reach the scalar eviction walk
+        leftovers = order[~fits]
+        hh = (h2, h1)
+        occupancy = np.count_nonzero(t_hi != _EMPTY_HI, axis=1)
+        for round_i in range(6):
+            if leftovers.size == 0:
+                break
+            h = hh[round_i % 2]
+            l2 = leftovers[np.argsort(h[leftovers], kind="stable")]
+            sh2 = h[l2]
+            idx2 = np.arange(l2.shape[0])
+            ng2 = np.empty(l2.shape[0], dtype=bool)
+            ng2[0] = True
+            ng2[1:] = sh2[1:] != sh2[:-1]
+            gs2 = np.maximum.accumulate(np.where(ng2, idx2, 0))
+            rank2 = idx2 - gs2 + occupancy[sh2]
+            fits2 = rank2 < BUCKET
+            rows2, cols2, src2 = sh2[fits2], rank2[fits2], l2[fits2]
+            t_hi[rows2, cols2] = hi[src2]
+            t_lo[rows2, cols2] = lo[src2]
+            t_off[rows2, cols2] = off32[src2]
+            t_len[rows2, cols2] = len32[src2]
+            np.add.at(occupancy, rows2, 1)
+            leftovers = l2[~fits2]
+
+        # --- eviction pass for the few remaining keys ------------------------
         ok = True
-        for i in order[~fits]:
+        for i in leftovers:
             cur = (int(hi[i]), int(lo[i]), int(off32[i]), int(len32[i]))
             b = int(h2[i])  # h1 bucket is full by construction
             placed = False
