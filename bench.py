@@ -48,7 +48,7 @@ def main() -> None:
     MEAN_PLEN = 12.0
     NUM_READS = 20_000
     READ_LEN = 150
-    BATCH = 4000  # fixed dispatch/fetch overhead amortizes with batch size
+    BATCH = 2000  # larger batches blow up the (R, chunk, B) gather working set
 
     log("building synthetic database ...")
     db, ref = reference_like_db(

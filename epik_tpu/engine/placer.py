@@ -379,7 +379,8 @@ def _place_batch_device_densedb(
     return _pack_outputs(outs, zero, zero)
 
 
-def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2):
+def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
+                     w_ch=32):
     """Per-read (S, C) sums from the dense score plane (shard-composable:
     psum both).
 
@@ -396,7 +397,7 @@ def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2):
     rows = jnp.where(found, row.astype(i32), i32(zero_row)).reshape(R, Wmax)
 
     # chunked row-gather + reduce keeps the (R, chunk, B) working set small
-    W_CH = min(32, Wmax)
+    W_CH = min(w_ch, Wmax)
 
     bw = plane_s.shape[1]  # plane width (B padded to a 128 multiple)
 
