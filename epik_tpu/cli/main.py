@@ -238,14 +238,18 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
     begin = time.monotonic()
 
     # prefer the native C++ FASTA reader when the library is built
+    # (the Python reader handles gzip; the native one does not)
     reader = None
-    try:
-        from ..native import NativeFastaReader, native_available
+    with open(input_file, "rb") as _probe:
+        is_gzip = _probe.read(2) == b"\x1f\x8b"
+    if not is_gzip:
+        try:
+            from ..native import NativeFastaReader, native_available
 
-        if native_available():
-            reader = NativeFastaReader(input_file, batch_size)
-    except Exception:
-        reader = None
+            if native_available():
+                reader = NativeFastaReader(input_file, batch_size)
+        except Exception:
+            reader = None
     if reader is None:
         reader = batch_fasta(input_file, batch_size)
     if writer.resumed_reads:

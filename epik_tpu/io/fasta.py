@@ -23,7 +23,17 @@ class batch_fasta:
     def __init__(self, path: str | os.PathLike, batch_size: int = 2000):
         self._path = os.fspath(path)
         self._batch_size = batch_size
-        self._file = open(self._path, "rb")
+        raw = open(self._path, "rb")
+        magic = raw.read(2)
+        raw.seek(0)
+        if magic == b"\x1f\x8b":
+            # improvement over the reference, which requires uncompressed
+            # FASTA (reference: README.md:113)
+            import gzip
+
+            self._file = gzip.open(raw, "rb")
+        else:
+            self._file = raw
         self._bytes_read = 0
         self._pending_header: bytes | None = None
         self._eof = False

@@ -303,3 +303,20 @@ class TestAminoEndToEnd:
         res = jplace_diff(str(out / "placements_q.fasta.jplace"),
                           str(out2 / "placements_q.fasta.jplace"))
         assert res.clean
+
+
+class TestGzipInput:
+    def test_place_gzip_fasta(self, fixture_dir, tmp_path):
+        import gzip
+
+        gz = tmp_path / "q.fasta.gz"
+        gz.write_bytes(gzip.compress((fixture_dir / "q.fasta").read_bytes()))
+        out = tmp_path / "og"
+        out.mkdir()
+        runner = CliRunner()
+        r = runner.invoke(epik, [
+            "place", "-i", str(fixture_dir / "DB.eptk"), "-o", str(out), str(gz),
+        ], catch_exceptions=False)
+        assert r.exit_code == 0, r.output
+        content = json.loads((out / "placements_q.fasta.gz.jplace").read_text())
+        assert sum(len(p["nm"]) for p in content["placements"]) == 30
