@@ -475,10 +475,17 @@ def _pack_outputs(outs, e_total, a_total):
         axis=1,
     )
     width = body.shape[1]
+    # totals split into 20-bit halves: a single f32 rounds above 2**24 and
+    # could round a true overflow down to exactly the budget, silently
+    # skipping the retry
+    e_t = e_total.astype(jnp.int32)
+    a_t = a_total.astype(jnp.int32)
     totals = (
         jnp.zeros((1, width), f32)
-        .at[0, 0].set(e_total.astype(f32))
-        .at[0, 1].set(a_total.astype(f32))
+        .at[0, 0].set((e_t >> 20).astype(f32))
+        .at[0, 1].set((e_t & 0xFFFFF).astype(f32))
+        .at[0, 2].set((a_t >> 20).astype(f32))
+        .at[0, 3].set((a_t & 0xFFFFF).astype(f32))
     )
     return jnp.concatenate([body, totals], axis=0)
 
@@ -492,7 +499,9 @@ def unpack_outputs(arr: np.ndarray, K: int):
     counts_k = body[:, 3 * K : 4 * K].astype(np.int64)
     n = body[:, 4 * K].astype(np.int32)
     zero_sum = body[:, 4 * K + 1] != 0
-    return scores_k, idx_k, counts_k, wr_k, n, zero_sum, int(totals[0]), int(totals[1])
+    e_total = (int(totals[0]) << 20) + int(totals[1])
+    a_total = (int(totals[2]) << 20) + int(totals[3])
+    return scores_k, idx_k, counts_k, wr_k, n, zero_sum, e_total, a_total
 
 
 @dataclasses.dataclass
@@ -515,15 +524,18 @@ class JaxPlacer:
         self,
         db: PhyloKmerDB,
         tree: PhyloTree,
-        keep_at_most: int = 7,
-        keep_factor: float = 0.01,
+        keep_at_most: int | None = None,
+        keep_factor: float | None = None,
         config: PlacerConfig | None = None,
     ):
         self.db = db
         self.tree = tree
-        self.config = config or PlacerConfig(keep_at_most=keep_at_most, keep_factor=keep_factor)
-        self.config.keep_at_most = keep_at_most
-        self.config.keep_factor = keep_factor
+        # copy: never mutate a caller-supplied config; explicit kwargs win
+        self.config = dataclasses.replace(config) if config else PlacerConfig()
+        if keep_at_most is not None:
+            self.config.keep_at_most = keep_at_most
+        if keep_factor is not None:
+            self.config.keep_factor = keep_factor
         self.alphabet = get_alphabet(db.sequence_type)
         self.k = db.kmer_size
         self.B = tree.get_node_count()
@@ -585,9 +597,11 @@ class JaxPlacer:
             )
             br = db.branches.astype(np.int32)
             # presence is encoded as nonzero: nudge exact-0.0 stored scores
-            # (P == 1) to the smallest negative subnormal
+            # (P == 1) to a tiny NORMAL negative float32 -- a subnormal
+            # nudge (np.nextafter from float64) underflows to -0.0 and TPUs
+            # flush subnormals anyway, which would drop the branch entirely
             sc = np.where(
-                db.scores == 0.0, np.float32(np.nextafter(0, -1)), db.scores
+                db.scores == 0.0, np.float32(-1e-37), db.scores
             ).astype(np.float32)
             # rows padded to a 128 multiple: aligned row gathers are ~6%
             # faster and the padding columns read as zeros
@@ -845,9 +859,15 @@ class JaxPlacer:
         e_hi, e_lo = self._pad_u64_split(tokens.exact_keys, E)
         a_hi, a_lo = self._pad_u64_split(tokens.amb_keys, A)
         est = max(1, int(self._avg_plen * cfg.budget_headroom))
+        if self._dense:
+            # per-read tile budget, 512-floor (the Pallas kernel chunk)
+            wpr = int(np.bincount(tokens.exact_read, minlength=R).max()) if tokens.exact_read.size else 1
+            P = _bucket(wpr * est, max(cfg.min_bucket, 512))
+        else:
+            P = _bucket(tokens.exact_keys.shape[0] * est, cfg.min_bucket)
         statics = dict(
             R=R, B=self.B, K=min(cfg.keep_at_most, self.B),
-            P=_bucket(tokens.exact_keys.shape[0] * est, cfg.min_bucket),
+            P=P,
             PA=_bucket(tokens.amb_keys.shape[0] * est, cfg.min_bucket),
             k=self.k, seed1=self.table.seed1, seed2=self.table.seed2,
             log_eps=float(self.log_eps), eps=float(self.eps),

@@ -82,16 +82,14 @@ def format_double(x: float) -> str:
 
 
 def scan_partial(filename: str) -> tuple[int, int]:
-    """Inspect a partial (crashed) jplace file for resume.
+    """Diagnostic: count complete placement objects' reads in a partial file.
 
-    The writer appends batch-by-batch and flushes after each batch
-    (mirroring the reference's per-batch appends, jplace.cpp:33-36), so a
-    crashed run leaves a file with a complete header and N complete
-    placement objects.  Returns ``(num_reads_written, truncate_to)``: the
-    number of ``nm`` name entries in complete objects (reads are consumed
-    in file order, so this is exactly how many input records to skip;
-    quirk Q8 dedup is per batch, so every record appears in exactly one
-    ``nm`` entry) and the byte offset just after the last complete object.
+    NOTE: resume does NOT use this -- dedup (quirk Q8) writes objects in
+    first-occurrence order, so an object count can misalign with the input
+    record order when a crash lands mid-batch among duplicate sequences.
+    The authoritative resume state is the ``<output>.resume`` sidecar
+    written atomically after each flushed batch (see jplace_writer).
+    Returns ``(num_reads_in_complete_objects, offset_after_last_object)``.
     """
     with open(filename, "r", encoding="utf-8") as f:
         text = f.read()
@@ -146,22 +144,36 @@ class jplace_writer:
 
     def __init__(self, filename: str, invocation: str, newick_tree: str,
                  resume: bool = False):
+        import os
+
         self._filename = filename
+        self._sidecar = filename + ".resume"
         self._invocation = invocation
         self._tree = newick_tree
         self.resumed_reads = 0
-        if resume:
-            import os
-
-            if not os.path.exists(filename):
-                resume = False
-        if resume:
-            n, trunc = scan_partial(filename)
-            self.resumed_reads = n
+        self._reads_written = 0
+        state = None
+        if resume and os.path.exists(filename) and os.path.exists(self._sidecar):
+            try:
+                with open(self._sidecar) as f:
+                    state = json.load(f)
+                if not (
+                    isinstance(state.get("reads"), int)
+                    and isinstance(state.get("bytes"), int)
+                    and 0 < state["bytes"] <= os.path.getsize(filename)
+                ):
+                    state = None
+            except (ValueError, OSError):
+                state = None
+        if state is not None:
+            # truncate to the last fully-flushed BATCH boundary: batches are
+            # contiguous input-record ranges, so skipping state["reads"]
+            # records is exact even with mid-batch duplicate sequences
+            self.resumed_reads = self._reads_written = state["reads"]
             self._out = open(filename, "r+", encoding="utf-8")
-            self._out.truncate(trunc)
-            self._out.seek(trunc)
-            self._first_placement = n == 0
+            self._out.truncate(state["bytes"])
+            self._out.seek(state["bytes"])
+            self._first_placement = state["reads"] == 0
             self._resumed = True
         else:
             self._out = open(filename, "w", encoding="utf-8")
@@ -218,7 +230,18 @@ class jplace_writer:
                 w.write(f"\n                [{json.dumps(h)}, 1]")
             w.write("\n            ]\n" if headers else "]\n")
             w.write("        }")
+            self._reads_written += len(headers)
         w.flush()
+        self._write_sidecar()
+
+    def _write_sidecar(self) -> None:
+        """Atomically persist the resume checkpoint (reads + byte offset)."""
+        import os
+
+        tmp = self._sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"reads": self._reads_written, "bytes": self._out.tell()}, f)
+        os.replace(tmp, self._sidecar)
 
     # operator<< sugar
     def __lshift__(self, placed: PlacedCollection) -> "jplace_writer":
@@ -226,6 +249,13 @@ class jplace_writer:
         return self
 
     def end(self) -> None:
-        """Close arrays and the file (reference: jplace.cpp:61-69)."""
+        """Close arrays and the file (reference: jplace.cpp:61-69); the
+        resume checkpoint is removed -- the run is complete."""
+        import os
+
         self._out.write("\n    ]\n}")
         self._out.close()
+        try:
+            os.remove(self._sidecar)
+        except OSError:
+            pass

@@ -121,7 +121,8 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
             bw = -(-B // 128) * 128  # aligned rows gather faster
             ps = np.zeros((rows_max + 1, bw), np.float32)
             rpp = np.repeat(np.arange(keys.shape[0]), lens)
-            sc = np.where(scores == 0.0, np.float32(np.nextafter(0, -1)), scores)
+            # tiny NORMAL f32 (subnormals flush to zero on TPU)
+            sc = np.where(scores == 0.0, np.float32(-1e-37), scores)
             ps[rpp, branches.astype(np.int64)] = sc
             planes_s.append(ps)
         else:
@@ -162,8 +163,8 @@ class ShardedJaxPlacer:
         db: PhyloKmerDB,
         tree: PhyloTree,
         mesh,
-        keep_at_most: int = 7,
-        keep_factor: float = 0.01,
+        keep_at_most: int | None = None,
+        keep_factor: float | None = None,
         config: PlacerConfig | None = None,
     ):
         self.db = db
@@ -171,9 +172,12 @@ class ShardedJaxPlacer:
         self.mesh = mesh
         self.n_data = mesh.shape[DATA_AXIS]
         self.n_model = mesh.shape[MODEL_AXIS]
-        self.config = config or PlacerConfig()
-        self.config.keep_at_most = keep_at_most
-        self.config.keep_factor = keep_factor
+        # copy: never mutate a caller-supplied config; explicit kwargs win
+        self.config = dataclasses.replace(config) if config else PlacerConfig()
+        if keep_at_most is not None:
+            self.config.keep_at_most = keep_at_most
+        if keep_factor is not None:
+            self.config.keep_factor = keep_factor
         self.alphabet = get_alphabet(db.sequence_type)
         self.k = db.kmer_size
         self.B = tree.get_node_count()
@@ -194,6 +198,12 @@ class ShardedJaxPlacer:
         sdb = shard_db_by_hash(db, self.n_model, dense=self._dense_db,
                                num_branches=self.B)
         self._sdb = sdb
+        # device-resident once: re-converting per place() would re-upload the
+        # whole database every batch
+        self._dev_packed = jnp.asarray(sdb.packed)
+        self._dev_postings = jnp.asarray(sdb.postings)
+        self._dev_row_off = jnp.asarray(sdb.row_off)
+        self._dev_plane_s = jnp.asarray(sdb.plane_s) if sdb.plane_s is not None else None
         # per-shard seeds must be identical for a traced kernel; rebuild with a
         # common seed pair would be ideal, but seeds are static args instead:
         # we pass stacked seed arrays through the mesh.
@@ -353,10 +363,9 @@ class ShardedJaxPlacer:
                 m_pad = np.zeros(R, np.float32)
                 m_pad[: m_f32.shape[0]] = m_f32
                 m_stack.append(m_pad)
-            sdb = self._sdb
             out = self._sharded_kernel_dense(
                 jnp.asarray(self._seed1), jnp.asarray(self._seed2),
-                jnp.asarray(sdb.packed), jnp.asarray(sdb.plane_s),
+                self._dev_packed, self._dev_plane_s,
                 stackm(0), stackm(1), stackm(2), stackm(3),
                 np.stack(m_stack),
                 R=R, K=K, Wmax=Wmax, Amax=Amax,
@@ -406,8 +415,8 @@ class ShardedJaxPlacer:
         while True:
             out = self._sharded_kernel(
                 jnp.asarray(self._seed1), jnp.asarray(self._seed2),
-                jnp.asarray(sdb.packed),
-                jnp.asarray(sdb.postings), jnp.asarray(sdb.row_off),
+                self._dev_packed,
+                self._dev_postings, self._dev_row_off,
                 stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
                 stack(6), stack(7),
                 R=R, K=K, Pb=P_budget, PAb=PA_budget,

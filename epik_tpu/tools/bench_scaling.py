@@ -61,7 +61,7 @@ def main(argv=None):
     log(f"{len(reads)} reads, {db.num_kmers} k-mers, {tree.get_node_count()} branches")
 
     results = {}
-    base = None
+    base = None  # (rps, nd) of the first measured point
     for nd in device_counts:
         if nd % args.n_model:
             continue
@@ -73,9 +73,10 @@ def main(argv=None):
         placer.place(reads)
         dt = time.time() - t0
         rps = len(reads) / dt
-        eff = 1.0 if base is None else rps / (base * nd)
+        # efficiency relative to linear scaling from the first point
+        eff = 1.0 if base is None else (rps / nd) / (base[0] / base[1])
         if base is None:
-            base = rps
+            base = (rps, nd)
         results[nd] = {"reads_per_s": round(rps, 1), "efficiency": round(eff, 3)}
         log(f"{nd} device(s): {rps:.0f} reads/s, efficiency {eff:.2f}")
 

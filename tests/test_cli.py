@@ -167,7 +167,7 @@ class TestSubcommands:
 
 
 class TestResume:
-    def test_resume_continues(self, fixture_dir, tmp_path):
+    def test_resume_continues_from_batch_checkpoint(self, fixture_dir, tmp_path):
         out = tmp_path / "res"
         out.mkdir()
         runner = CliRunner()
@@ -177,19 +177,96 @@ class TestResume:
         assert r.exit_code == 0
         jp = out / "placements_q.fasta.jplace"
         full = jp.read_text()
-
-        # simulate a crash after the first batch: truncate mid-second-batch
         import json as _json
 
-        content = _json.loads(full)
-        # cut the file at ~60% of its length (inside placements)
-        jp.write_text(full[: int(len(full) * 0.6)])
+        expect_names = sorted(
+            nm[0] for p in _json.loads(full)["placements"] for nm in p["nm"]
+        )
+
+        # simulate a crash after the FIRST batch: replay one batch manually so
+        # the .resume sidecar exists (end() removes it on clean completion)
+        from epik_tpu.core.tree import parse_newick, to_newick
+        from epik_tpu.engine.reference import ReferencePlacer
+        from epik_tpu.io.db import load as load_db
+        from epik_tpu.io.fasta import read_fasta
+        from epik_tpu.io.jplace import jplace_writer
+
+        db = load_db(fixture_dir / "DB.eptk")
+        tree = parse_newick(db.tree())
+        records = read_fasta(fixture_dir / "q.fasta")
+        w = jplace_writer(str(jp), "inv ", to_newick(tree, jplace_edges=True))
+        w.start()
+        w << ReferencePlacer(db, tree).place(records[:10])
+        # crash: no end(); header + one batch + sidecar on disk
+        w._out.flush()
+
         r2 = runner.invoke(epik, args + ["--resume"], catch_exceptions=False)
         assert r2.exit_code == 0, r2.output
-        assert "Resuming:" in r2.output
+        assert "Resuming: 10 reads already placed." in r2.output
         content2 = _json.loads(jp.read_text())
         names = sorted(nm[0] for p in content2["placements"] for nm in p["nm"])
-        assert names == sorted(nm[0] for p in content["placements"] for nm in p["nm"])
+        assert names == expect_names
+        assert not (out / "placements_q.fasta.jplace.resume").exists()
+
+    def test_resume_mid_batch_duplicates_are_not_lost(self, tmp_path):
+        """A crash between batches must not drop records even when batches
+        contain interleaved duplicate sequences (dedup reorders objects)."""
+        import json as _json
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=70)
+        save(db, tmp_path / "DB.eptk")
+        from epik_tpu.core.alphabet import DNA
+
+        seq_a = "".join(DNA.decode_key(int(db.keys[j]), 6) for j in (1, 2, 3))
+        seq_b = "".join(DNA.decode_key(int(db.keys[j]), 6) for j in (4, 5, 6))
+        # batch of 3: r1=A, r2=B, r3=A (duplicates interleaved)
+        with open(tmp_path / "q.fasta", "w") as f:
+            for name, seq in [("r1", seq_a), ("r2", seq_b), ("r3", seq_a),
+                              ("r4", seq_b), ("r5", seq_a), ("r6", seq_b)]:
+                f.write(f">{name}\n{seq}\n")
+        out = tmp_path / "o"
+        out.mkdir()
+        runner = CliRunner()
+        args = ["place", "-i", str(tmp_path / "DB.eptk"), "-o", str(out),
+                "--batch-size", "3", str(tmp_path / "q.fasta")]
+        # write only the first batch (r1..r3), then "crash"
+        from epik_tpu.core.tree import parse_newick, to_newick
+        from epik_tpu.engine.reference import ReferencePlacer
+        from epik_tpu.io.db import load as load_db
+        from epik_tpu.io.jplace import jplace_writer
+
+        db2 = load_db(tmp_path / "DB.eptk")
+        tree = parse_newick(db2.tree())
+        jp = out / "placements_q.fasta.jplace"
+        w = jplace_writer(str(jp), "inv ", to_newick(tree, jplace_edges=True))
+        w.start()
+        recs = [("r1", seq_a.encode()), ("r2", seq_b.encode()), ("r3", seq_a.encode())]
+        w << ReferencePlacer(db2, tree).place(recs)
+        w._out.flush()
+
+        r = runner.invoke(epik, args + ["--resume"], catch_exceptions=False)
+        assert r.exit_code == 0, r.output
+        assert "Resuming: 3 reads already placed." in r.output
+        content = _json.loads(jp.read_text())
+        names = sorted(nm[0] for p in content["placements"] for nm in p["nm"])
+        assert names == ["r1", "r2", "r3", "r4", "r5", "r6"]
+
+    def test_resume_without_sidecar_is_fresh_start(self, fixture_dir, tmp_path):
+        out = tmp_path / "rf"
+        out.mkdir()
+        jp = out / "placements_q.fasta.jplace"
+        jp.write_text("{ garbage, no sidecar")
+        runner = CliRunner()
+        r = runner.invoke(epik, [
+            "place", "-i", str(fixture_dir / "DB.eptk"), "-o", str(out),
+            "--resume", str(fixture_dir / "q.fasta"),
+        ], catch_exceptions=False)
+        assert r.exit_code == 0, r.output
+        assert "Resuming:" not in r.output  # fresh start
+        import json as _json
+
+        content = _json.loads(jp.read_text())  # valid, with header
+        assert content["version"] == 3
 
     def test_scan_partial(self, tmp_path):
         from epik_tpu.io.jplace import scan_partial

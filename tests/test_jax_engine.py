@@ -364,3 +364,81 @@ class TestBf16FastMode:
                     p2.placements[0].score, rel=2e-2, abs=2e-2
                 )
         assert agree >= 28  # best edge stable for nearly all reads
+
+
+class TestReviewRegressions:
+    """Regression tests for the round-1 code-review findings."""
+
+    def test_dense_zero_score_branch_not_dropped(self):
+        # a stored log10 score of exactly 0.0 (P == 1) must still count as
+        # present in the dense plane (review finding: the subnormal nudge
+        # underflowed to -0.0)
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        db = build_db(
+            {"ACGTA": [(0, 0.0), (2, -1.5)], "CGTAC": [(1, -0.5)]},
+            TREE, kmer_size=5,
+        )
+        tree = parse_newick(db.tree())
+        ref = ReferencePlacer(db, tree)
+        dense = JaxPlacer(db, tree, config=PlacerConfig(dense_db="on"))
+        recs = [("r", b"ACGTAC")]
+        out_r = ref.place(recs)
+        out_d = dense.place(recs)
+        edges_r = {p.branch_id for p in out_r.placed_seqs[0].placements}
+        edges_d = {p.branch_id for p in out_d.placed_seqs[0].placements}
+        assert 0 in edges_d
+        assert edges_r == edges_d
+        # scores still within parity tolerance despite the -1e-37 nudge
+        assert_equivalent(out_r, out_d)
+
+    def test_device_fn_args_small_batch(self):
+        # review finding: the dense budget in device_fn_args used the flat
+        # total and tripped the Pallas chunk assertion on small batches
+        import jax as _jax
+
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=71)
+        tree = parse_newick(db.tree())
+        placer = JaxPlacer(db, tree, config=PlacerConfig(accumulate="matmul"))
+        fn, args = placer.device_fn_args([("a", b"ACGTACGTAC"), ("b", b"TTTACGTTTT")])
+        out = _jax.jit(fn)(*args)
+        _jax.block_until_ready(out)
+
+    def test_config_not_clobbered(self):
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+        from epik_tpu.parallel.mesh import make_mesh
+        from epik_tpu.parallel.sharding import ShardedJaxPlacer
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=72)
+        tree = parse_newick(db.tree())
+        cfg = PlacerConfig(keep_at_most=3, keep_factor=0.5)
+        p = JaxPlacer(db, tree, config=cfg)
+        assert p.config.keep_at_most == 3 and p.config.keep_factor == 0.5
+        # caller's object untouched
+        assert cfg.keep_at_most == 3
+        # explicit kwargs still win over the config copy
+        p2 = JaxPlacer(db, tree, keep_at_most=2, config=cfg)
+        assert p2.config.keep_at_most == 2 and cfg.keep_at_most == 3
+        mesh = make_mesh(n_data=4, n_model=2)
+        sp = ShardedJaxPlacer(db, tree, mesh, config=cfg)
+        assert sp.config.keep_at_most == 3 and cfg.keep_at_most == 3
+
+    def test_unpack_outputs_large_totals_exact(self):
+        import jax.numpy as jnp
+
+        from epik_tpu.engine.placer import _pack_outputs, unpack_outputs
+
+        K, R = 7, 4
+        outs = (
+            jnp.zeros((R, K)), jnp.zeros((R, K), jnp.int32),
+            jnp.zeros((R, K), jnp.int32), jnp.zeros((R, K)),
+            jnp.zeros(R, jnp.int32), jnp.zeros(R, bool),
+        )
+        # a total above 2**24 must round-trip exactly (review finding:
+        # single-f32 packing rounded and could skip the overflow retry)
+        big = 16_777_219  # 2**24 + 3
+        packed = _pack_outputs(outs, jnp.int32(big), jnp.int32(big + 1))
+        *_, e_total, a_total = unpack_outputs(np.asarray(packed), K)
+        assert e_total == big and a_total == big + 1
