@@ -40,7 +40,7 @@ def epik():
 
 
 @epik.command()
-@click.option("-i", "--database", required=True,
+@click.option("-i", "-d", "--database", required=True,
               type=click.Path(dir_okay=False, file_okay=True, exists=True),
               help="Input database.")
 @click.option("-s", "--states", type=click.Choice(["nucl", "amino"]), default="nucl",
@@ -52,7 +52,7 @@ def epik():
 @click.option("-o", "--outputdir", required=True,
               type=click.Path(dir_okay=True, file_okay=False, exists=True),
               help="Output directory.")
-@click.option("--threads", type=int, default=1, show_default=True,
+@click.option("-j", "--threads", type=int, default=1, show_default=True,
               help="Host worker threads for tokenization (device count is "
                    "controlled by jax).")
 @click.option("--max-ram", type=str, default="", show_default=True,
