@@ -1,0 +1,88 @@
+"""Large-tree benchmark: the 10k-taxa metagenome shape (BASELINE.md config 4).
+
+At 10k taxa (~20k branches) the dense planes stop fitting HBM budgets
+(1M keys x 20k branches x 4B = 80 GB), so this exercises the CSR path:
+cuckoo lookup -> padded posting tiles -> Pallas one-hot MXU accumulate.
+
+Usage: python -m epik_tpu.tools.bench_bigtree [--reads 8000] [--leaves 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=8000)
+    ap.add_argument("--leaves", type=int, default=10000)
+    ap.add_argument("--ref-len", type=int, default=1_000_000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=2000)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..core.tree import parse_newick
+    from ..engine.placer import JaxPlacer, PlacerConfig
+    from ..io.build import reads_from_reference, reference_like_db
+
+    t0 = time.time()
+    db, ref = reference_like_db(
+        num_leaves=args.leaves, kmer_size=args.k, ref_length=args.ref_len,
+        mean_posting_len=12.0, seed=10,
+    )
+    tree = parse_newick(db.tree())
+    log(f"db: {db.num_kmers} k-mers, {db.num_entries} postings, "
+        f"{tree.get_node_count()} branches ({time.time()-t0:.0f}s)")
+    reads = reads_from_reference(ref, args.reads, length=150,
+                                 mutation_rate=0.02, seed=11)
+
+    placer = JaxPlacer(db, tree)  # auto: dense planes exceed budget -> CSR
+    log(f"mode: {'dense' if placer._dense_db else 'csr'} "
+        f"(plane would be {(db.num_kmers + 1) * tree.get_node_count() * 4 / 2**30:.1f} GiB)")
+    t_w = time.time()
+    placer.place(reads[: args.batch])
+    log(f"warmup {time.time()-t_w:.0f}s")
+
+    best = 0.0
+    for p in range(3):
+        t_run = time.time()
+        pend = None
+        placed = 0
+        for s in range(0, args.reads, args.batch):
+            h = placer.place_async(reads[s : s + args.batch])
+            if pend is not None:
+                placer.place_wait(pend[0])
+                placed += pend[1]
+            pend = (h, len(reads[s : s + args.batch]))
+        placer.place_wait(pend[0])
+        placed += pend[1]
+        rps = placed / (time.time() - t_run)
+        log(f"pass {p + 1}: {rps:.0f} reads/s")
+        best = max(best, rps)
+
+    print(json.dumps({
+        "metric": "bigtree_reads_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "reads/s",
+        "vs_baseline": 1.0,
+        "branches": tree.get_node_count(),
+        "kmers": db.num_kmers,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
