@@ -82,6 +82,10 @@ class PlacerConfig:
     #: always unchanged but log-likelihoods drift beyond the 1e-4 parity
     #: tolerance, so this is opt-in
     precision: str = "exact"
+    #: dense-plane row gather: "pallas" = pipelined-DMA Pallas kernel
+    #: (~40 GB/s on v5e vs 5-13 GB/s for the XLA dynamic-gather), "xla" =
+    #: plain gather, "auto" = pallas on TPU
+    dense_gather: str = "auto"
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -319,7 +323,10 @@ def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "seed1", "seed2"),
+    static_argnames=(
+        "R", "B", "K", "Wmax", "Amax", "k", "seed1", "seed2", "pallas_rows",
+        "interpret",
+    ),
 )
 def _place_batch_device_densedb(
     table,
@@ -340,6 +347,8 @@ def _place_batch_device_densedb(
     seed2: int,
     log_eps,
     eps,
+    pallas_rows: bool = False,
+    interpret: bool = False,
 ):
     """Dense-database placement step: the bandwidth-optimal TPU layout.
 
@@ -361,7 +370,8 @@ def _place_batch_device_densedb(
     """
     S, C = dense_exact_sums(
         table, plane_s, e_hi, e_lo, R=R, B=B, Wmax=Wmax,
-        seed1=seed1, seed2=seed2,
+        seed1=seed1, seed2=seed2, pallas_rows=pallas_rows,
+        interpret=interpret,
     )
     first, sel_score = dense_amb_firsthit(
         table, plane_s, a_hi, a_lo, R=R, B=B, Amax=Amax,
@@ -380,7 +390,7 @@ def _place_batch_device_densedb(
 
 
 def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
-                     w_ch=32):
+                     w_ch=32, pallas_rows=False, interpret=False):
     """Per-read (S, C) sums from the dense score plane (shard-composable:
     psum both).
 
@@ -389,12 +399,25 @@ def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
     exactly 0.0 (P(kmer|branch) == 1) are nudged to the smallest negative
     subnormal at plane build, which is far below every tolerance.  This
     halves the gather traffic versus a separate indicator plane.
+
+    ``pallas_rows`` routes the row gather through the pipelined-DMA Pallas
+    kernel (ops/pallas/rowgather.py) -- 3-8x the XLA gather's bandwidth on
+    a v5e; results are bit-identical (same rows, same summation order).
     """
     f32 = jnp.float32
     i32 = jnp.int32
     zero_row = plane_s.shape[0] - 1
     found, row, _ = lookup(table, seed1, seed2, e_hi.reshape(-1), e_lo.reshape(-1))
     rows = jnp.where(found, row.astype(i32), i32(zero_row)).reshape(R, Wmax)
+
+    if pallas_rows:
+        from ..ops.pallas.rowgather import GATHER_TR, gather_sums
+
+        r_pad = -(-R // GATHER_TR) * GATHER_TR
+        rows_p = jnp.pad(rows, ((0, r_pad - R), (0, 0)),
+                         constant_values=zero_row)
+        S, C = gather_sums(plane_s, rows_p, interpret=interpret)
+        return S[:R, :B], C[:R, :B].astype(i32)
 
     # chunked row-gather + reduce keeps the (R, chunk, B) working set small
     W_CH = min(w_ch, Wmax)
@@ -586,6 +609,12 @@ class JaxPlacer:
             and mode == "auto"
             and plane_bytes <= self.config.dense_db_budget
         )
+        # pipelined-DMA Pallas row gather: TPU-only (interpret mode is far
+        # slower than the XLA gather on CPU); bit-identical to the XLA path
+        dg = self.config.dense_gather
+        self._pallas_rows = self._dense_db and (
+            dg == "pallas" or (dg == "auto" and backend == "tpu")
+        )
         if self._dense_db:
             # table payload = dense row index (not a CSR offset)
             self.table = build_table(
@@ -744,6 +773,7 @@ class JaxPlacer:
                 R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,
                 seed1=self.table.seed1, seed2=self.table.seed2,
                 log_eps=float(self.log_eps), eps=float(self.eps),
+                pallas_rows=self._pallas_rows, interpret=self._interpret,
             )
             return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
 

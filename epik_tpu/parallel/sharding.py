@@ -195,6 +195,12 @@ class ShardedJaxPlacer:
             and self.config.accumulate == "auto"
             and plane_bytes <= self.config.dense_db_budget
         )
+        backend = jax.default_backend()
+        dg = self.config.dense_gather
+        self._pallas_rows = self._dense_db and (
+            dg == "pallas" or (dg == "auto" and backend == "tpu")
+        )
+        self._interpret = backend != "tpu"
         sdb = shard_db_by_hash(db, self.n_model, dense=self._dense_db,
                                num_branches=self.B)
         self._sdb = sdb
@@ -283,6 +289,7 @@ class ShardedJaxPlacer:
             S, C = dense_exact_sums(
                 table, plane_s[0], e_hi[0], e_lo[0],
                 R=R, B=B, Wmax=Wmax, seed1=s1, seed2=s2,
+                pallas_rows=self._pallas_rows, interpret=self._interpret,
             )
             first, sel = dense_amb_firsthit(
                 table, plane_s[0], a_hi[0], a_lo[0],
