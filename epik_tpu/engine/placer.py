@@ -82,9 +82,11 @@ class PlacerConfig:
     #: always unchanged but log-likelihoods drift beyond the 1e-4 parity
     #: tolerance, so this is opt-in
     precision: str = "exact"
-    #: dense-plane row gather: "pallas" = pipelined-DMA Pallas kernel
-    #: (~40 GB/s on v5e vs 5-13 GB/s for the XLA dynamic-gather), "xla" =
-    #: plain gather, "auto" = pallas on TPU
+    #: dense-plane row gather: "xla" = chunked XLA gather (measured ~125-150
+    #: GiB/s on v5e at w_ch=32 -- the fastest path; see
+    #: tools/bench_rowgather.py), "pallas" = pipelined-DMA Pallas kernel
+    #: (~80 GiB/s: row DMAs are scalar-core issue-bound at ~66 ns each),
+    #: "auto" = xla
     dense_gather: str = "auto"
 
 
@@ -401,8 +403,10 @@ def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
     halves the gather traffic versus a separate indicator plane.
 
     ``pallas_rows`` routes the row gather through the pipelined-DMA Pallas
-    kernel (ops/pallas/rowgather.py) -- 3-8x the XLA gather's bandwidth on
-    a v5e; results are bit-identical (same rows, same summation order).
+    kernel (ops/pallas/rowgather.py); results are bit-identical (same rows,
+    same summation order).  Measured on a v5e the chunked XLA gather below
+    is the faster path (~125-150 GiB/s vs ~80; tools/bench_rowgather.py),
+    so it is the default.
     """
     f32 = jnp.float32
     i32 = jnp.int32
@@ -609,12 +613,12 @@ class JaxPlacer:
             and mode == "auto"
             and plane_bytes <= self.config.dense_db_budget
         )
-        # pipelined-DMA Pallas row gather: TPU-only (interpret mode is far
-        # slower than the XLA gather on CPU); bit-identical to the XLA path
+        # dense-plane row gather: the chunked XLA gather wins on v5e
+        # (~125-150 GiB/s vs ~80 for the pipelined-DMA Pallas kernel, which
+        # is scalar-core DMA-issue bound); "pallas" keeps the kernel
+        # selectable.  Both paths are bit-identical.
         dg = self.config.dense_gather
-        self._pallas_rows = self._dense_db and (
-            dg == "pallas" or (dg == "auto" and backend == "tpu")
-        )
+        self._pallas_rows = self._dense_db and dg == "pallas"
         if self._dense_db:
             # table payload = dense row index (not a CSR offset)
             self.table = build_table(

@@ -2,10 +2,7 @@
 
 The dense-database hot loop gathers, for every window of every read, one
 (plane_width,) score row from the dense (num_keys+1, bw) plane and reduces
-rows to per-read sums (engine/placer.py::dense_exact_sums).  XLA lowers the
-row gather to a generic dynamic-gather that measures only ~5-13 GB/s on a
-v5e -- far below HBM speed-of-light -- making it the pipeline bottleneck
-(ARCHITECTURE.md performance model).
+rows to per-read sums (engine/placer.py::dense_exact_sums).
 
 This kernel issues the row fetches as explicit async DMAs (HBM -> VMEM),
 ``G`` rows per group with ``NSLOT`` groups in flight, so row latency is
@@ -13,8 +10,16 @@ hidden behind bandwidth; the VPU reduces each landed group into a per-read
 accumulator carried in vector registers.  This is the TPU-native analog of
 the reference's AVX ``_mm256_i32gather_ps`` posting gather
 (reference: epik/include/epik/intrinsic.h:81,146) -- but against a dense
-bandwidth-optimal layout rather than a hash map.  Measured on a v5e:
-~40 GB/s sustained vs 5-13 GB/s for the XLA gather (3-8x).
+bandwidth-optimal layout rather than a hash map.
+
+Measured honestly on a v5e (tools/bench_rowgather.py, synchronized via a
+device->host fetch -- plain ``block_until_ready`` does not synchronize on
+the remote-tunnel backend and inflates numbers ~300x): ~80 GiB/s sustained.
+The per-row DMA issue runs on the scalar core at ~66 ns each, which is the
+ceiling for 5.6 KB rows.  XLA's chunked dynamic-gather measures *faster*
+(~125-150 GiB/s at a 32-window chunk), so this kernel is kept as an opt-in
+(``PlacerConfig.dense_gather="pallas"``) and as the template for future
+fused lookup+gather work, not the default.
 
 Mosaic constraint: a (1, bw) slice of an (8,128)-tiled 2D HBM buffer is not
 DMA-able (dim-0 slices must be 8-aligned), and 1D buffers get (1024)

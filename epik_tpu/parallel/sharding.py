@@ -196,10 +196,9 @@ class ShardedJaxPlacer:
             and plane_bytes <= self.config.dense_db_budget
         )
         backend = jax.default_backend()
-        dg = self.config.dense_gather
-        self._pallas_rows = self._dense_db and (
-            dg == "pallas" or (dg == "auto" and backend == "tpu")
-        )
+        # "auto" resolves to the chunked XLA gather -- measured faster than
+        # the Pallas DMA kernel on v5e (see PlacerConfig.dense_gather)
+        self._pallas_rows = self._dense_db and self.config.dense_gather == "pallas"
         self._interpret = backend != "tpu"
         sdb = shard_db_by_hash(db, self.n_model, dense=self._dense_db,
                                num_branches=self.B)
