@@ -45,7 +45,7 @@ from ..core.tree import PhyloTree
 from ..io.db import PhyloKmerDB
 from ..ops.expand import ragged_expand
 from ..ops.hashtable import build_table, lookup
-from .types import PlacedCollection, PlacedSequence, Placement
+from .types import ArrayPlacedCollection, PlacedCollection, Placement
 
 __all__ = ["JaxPlacer", "PlacerConfig"]
 
@@ -925,11 +925,15 @@ class JaxPlacer:
 
     def _assemble(
         self, seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K
-    ) -> PlacedCollection:
-        """Vectorized jplace-row assembly (numpy decisions + tolist batch
-        conversion; per-element float() calls dominated the profile)."""
+    ) -> ArrayPlacedCollection:
+        """Vectorized jplace-row decisions; returns an array-backed batch.
+
+        Object construction (engine/types.py::ArrayPlacedCollection) is
+        deferred to first use -- the jplace writer serializes straight from
+        these arrays (io/jplace.py fast path), so in production no Python
+        ``Placement`` objects are ever built.
+        """
         cfg = self.config
-        R = len(seqs)
         n_eff = np.minimum(n_touched, K)
         # keep-factor filter precomputed: threshold = best_wr * kf (quirk Q3
         # zeroes kf); placements are score-desc so wr_k[:, 0] is the best
@@ -937,32 +941,46 @@ class JaxPlacer:
         thresh = wr_k[:, 0] * kf
         jcols = np.arange(K)[None, :]
         keep = (jcols < n_eff[:, None]) & (wr_k >= thresh[:, None])
-        # batch-convert to python scalars (C-speed) before object building
-        sc = scores_k.tolist()
-        wr = wr_k.tolist()
-        ids = idx_k.tolist()
-        cnt = counts_k.tolist()
-        dist = self.distal[idx_k].tolist()
-        pend = self.pendant[idx_k].tolist()
-        keep_l = keep.tolist()
-        placed_seqs = []
-        for i, seq in enumerate(seqs):
-            if n_touched[i] == 0:
-                placements, sum_is_zero = self._fallback(int(m_signed[i]) % _U64)
-                keep_factor = 0.0 if sum_is_zero else cfg.keep_factor
-                best = placements[0].weight_ratio if placements else 0.0
-                ratio_threshold = best * keep_factor
-                placements = [p for p in placements if p.weight_ratio >= ratio_threshold]
-            else:
-                ki = keep_l[i]
-                placements = [
-                    Placement(ids[i][j], sc[i][j], wr[i][j], cnt[i][j],
-                              dist[i][j], pend[i][j])
-                    for j in range(int(n_eff[i]))
-                    if ki[j]
-                ]
-            placed_seqs.append(PlacedSequence(sequence=seq, placements=placements))
-        return PlacedCollection(sequence_map=sequence_map, placed_seqs=placed_seqs)
+
+        ids = idx_k.astype(np.int32, copy=True)
+        scores = scores_k.astype(np.float32, copy=True)
+        wr = wr_k.astype(np.float64, copy=True)
+        counts = counts_k.astype(np.int32, copy=True)
+        dist = self.distal[idx_k]
+        pend = self.pendant[idx_k]
+
+        fb = n_touched == 0
+        if fb.any():
+            # no-match fallback, vectorized (quirk Q2; reference:
+            # place.cpp:141-152,164-184 and self._fallback): K fabricated
+            # placements on branches 0..K-1, score ts = f32(log_eps * m / k)
+            # with the size_t-wrapped window count m (quirk Q1), weight
+            # ratio power/(B*power) in double with underflow-to-zero (Q3).
+            m_f64 = m_signed.astype(np.float64)
+            m_w32 = np.where(
+                m_signed >= 0, m_f64, m_f64 + float(_U64)
+            ).astype(np.float32)
+            ts32 = self.log_eps * m_w32 / np.float32(self.k)  # f32 math
+            power = 10.0 ** ts32.astype(np.float64)
+            score_sum = float(self.B) * power
+            wr_fb = np.divide(
+                power, score_sum,
+                out=np.zeros_like(power),
+                where=(score_sum != 0.0) & (power != 0.0),
+            )
+            ids[fb] = np.arange(K, dtype=np.int32)[None, :]
+            scores[fb] = ts32[fb][:, None]
+            wr[fb] = wr_fb[fb][:, None]
+            counts[fb] = 0
+            dist[fb] = 0.0
+            pend[fb] = 0.0
+            # all K fabricated rows survive the ratio filter: equal ratios
+            # always pass wr >= wr*kf (and Q3 zeroes kf when the sum is 0)
+            keep[fb] = True
+
+        return ArrayPlacedCollection(
+            sequence_map, seqs, ids, scores, wr, counts, dist, pend, keep
+        )
 
     def _fallback(self, m_wrapped: int) -> tuple[list[Placement], bool]:
         """No-match fabrication (quirk Q2) with faithful host double math

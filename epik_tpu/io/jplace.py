@@ -198,7 +198,33 @@ class jplace_writer:
         w.flush()
 
     def write(self, placed: PlacedCollection) -> None:
-        """Append one batch (reference: jplace.cpp:21-38)."""
+        """Append one batch (reference: jplace.cpp:21-38).
+
+        Array-backed batches (engine/types.py::ArrayPlacedCollection) take
+        the native fast path: the whole batch serializes in one C++ call
+        (native/epik_host.cpp::eh_format_jplace), byte-identical to the
+        Python loop below, without ever building Placement objects.
+        """
+        if getattr(placed, "keep", None) is not None:
+            try:
+                from ..native import load_native, native_format_jplace
+
+                native = load_native() is not None
+            except Exception:
+                native = False
+            if native and placed.seqs:
+                headers = [placed.sequence_map[s] for s in placed.seqs]
+                text, n_reads = native_format_jplace(
+                    placed.ids, placed.scores, placed.wr, placed.dist,
+                    placed.pend, placed.keep, headers,
+                    self._first_placement,
+                )
+                self._out.write(text)
+                self._first_placement = False
+                self._reads_written += n_reads
+                self._out.flush()
+                self._write_sidecar()
+                return
         w = self._out
         for placed_seq in placed.placed_seqs:
             if not self._first_placement:

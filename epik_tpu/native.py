@@ -27,6 +27,7 @@ __all__ = [
     "load_native",
     "native_available",
     "native_tokenize_batch",
+    "native_format_jplace",
     "NativeFastaReader",
     "NativeScalarPlacer",
 ]
@@ -129,6 +130,14 @@ def _declare(lib) -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p,
+    ]
+    lib.eh_format_jplace.restype = ctypes.c_int64
+    lib.eh_format_jplace.argtypes = [
+        ctypes.c_long, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
     ]
 
 
@@ -285,3 +294,46 @@ class NativeScalarPlacer:
                 self._lib.eh_scalar_db_free(self._h)
         except Exception:
             pass
+
+
+def native_format_jplace(ids, scores, wr, dist, pend, keep,
+                         headers_per_read: list[list[str]],
+                         first_placement: bool) -> tuple[str, int]:
+    """Serialize one batch of placement objects via the C++ formatter.
+
+    Byte-identical to the Python writer loop (io/jplace.py; reference:
+    epik/src/epik/jplace.cpp:21-38,121-158).  Returns (text, num_reads);
+    raises RuntimeError when the native library is unavailable.
+    """
+    import json
+
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    R, K = ids.shape
+    # headers pre-escaped host-side: json.dumps handles unicode/control
+    # escaping at C speed; the C++ side copies tokens verbatim
+    toks = [json.dumps(h).encode() for hs in headers_per_read for h in hs]
+    nm_cnt = np.array([len(hs) for hs in headers_per_read], dtype=np.int32)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    nm_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    nm_buf = b"".join(toks)
+
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    wr = np.ascontiguousarray(wr, dtype=np.float64)
+    dist = np.ascontiguousarray(dist, dtype=np.float64)
+    pend = np.ascontiguousarray(pend, dtype=np.float64)
+    keep = np.ascontiguousarray(keep, dtype=np.uint8)
+
+    cap = 128 * R + 136 * int(keep.sum()) + len(nm_buf) + 32 * len(toks) + 1024
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = lib.eh_format_jplace(
+            R, K, _np_ptr(ids), _np_ptr(scores), _np_ptr(wr), _np_ptr(dist),
+            _np_ptr(pend), _np_ptr(keep), nm_buf, _np_ptr(nm_off),
+            _np_ptr(nm_cnt), int(first_placement), out, cap,
+        )
+        if n >= 0:
+            return out.raw[:n].decode("utf-8"), int(nm_cnt.sum())
+        cap *= 2

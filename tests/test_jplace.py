@@ -150,3 +150,97 @@ class TestDiffOracle:
         p2.write_text(json.dumps(content))
         assert jplace_diff(str(p1), str(p2), only_best=True).clean
         assert not jplace_diff(str(p1), str(p2)).clean
+
+
+class TestNativeFastPath:
+    """Byte-parity of the C++ batch formatter (native/epik_host.cpp::
+    eh_format_jplace) against the Python writer loop."""
+
+    @staticmethod
+    def _write_both(tmp_path, coll, tree_str):
+        import copy
+
+        from epik_tpu.engine.types import PlacedCollection
+
+        paths = []
+        for tag in ("fast", "slow"):
+            c = coll
+            if tag == "slow":
+                # strip the array backing: force the Python loop on the
+                # materialized objects
+                c = PlacedCollection(
+                    sequence_map=coll.sequence_map,
+                    placed_seqs=copy.deepcopy(coll.placed_seqs),
+                )
+            p = tmp_path / f"{tag}.jplace"
+            w = jplace_writer(str(p), "inv ", tree_str)
+            w.start()
+            w << c
+            w.end()
+            paths.append(p)
+        return paths[0].read_bytes(), paths[1].read_bytes()
+
+    def _random_collection(self, seed, R=40, K=7):
+        import numpy as np
+
+        from epik_tpu.engine.types import ArrayPlacedCollection
+
+        rng = np.random.default_rng(seed)
+        seqs = [f"s{i}".encode() for i in range(R)]
+        # headers exercise escaping: quotes, backslashes, unicode, controls
+        smap = {}
+        for i, s in enumerate(seqs):
+            hs = [f"read_{i}"]
+            if i % 7 == 0:
+                hs.append('we "ird\\hdr\tx')
+            if i % 11 == 0:
+                hs.append("ünïcode·ヘッダ")
+            smap[s] = hs
+        scores = (rng.standard_normal((R, K)) * 10.0 ** rng.integers(
+            -3, 4, (R, K))).astype(np.float32)
+        wr = np.abs(rng.standard_normal((R, K))) * 10.0 ** rng.integers(
+            -300, 3, (R, K))
+        wr[0, 0] = 0.0
+        dist = np.abs(rng.standard_normal((R, K)))
+        pend = np.abs(rng.standard_normal((R, K))) * 1e21  # exponential fmt
+        keep = rng.random((R, K)) < 0.8
+        keep[:, 0] = True
+        keep[1] = False  # an empty "p" array
+        ids = rng.integers(0, 2000, (R, K)).astype(np.int32)
+        counts = rng.integers(0, 9, (R, K)).astype(np.int32)
+        return ArrayPlacedCollection(smap, seqs, ids, scores, wr,
+                                     counts.astype(np.int32), dist, pend, keep)
+
+    def test_byte_parity_random(self, tmp_path):
+        from epik_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        for seed in range(5):
+            coll = self._random_collection(seed)
+            fast, slow = self._write_both(tmp_path, coll, TREE)
+            assert fast == slow
+
+    def test_byte_parity_engine_output(self, tmp_path):
+        """End-to-end: JaxPlacer array batch vs its materialized objects."""
+        from epik_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        import numpy as np
+
+        from epik_tpu.core.tree import parse_newick
+        from epik_tpu.engine.placer import JaxPlacer
+        from epik_tpu.io.build import random_db, random_reads
+
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2000,
+                       mean_posting_len=5.0, seed=9)
+        tree = parse_newick(db.tree())
+        reads = random_reads(60, length=40, seed=4, ambig_rate=0.05)
+        reads += [("tiny", b"AC"), ("dupA", b"ACGTAC"), ("dupB", b"ACGTAC")]
+        coll = JaxPlacer(db, tree).place(reads)
+        assert getattr(coll, "keep", None) is not None
+        fast, slow = self._write_both(
+            tmp_path, coll, to_newick(tree, jplace_edges=True))
+        assert fast == slow
+        json.loads(fast)  # well-formed
