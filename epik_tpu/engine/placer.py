@@ -950,6 +950,19 @@ class JaxPlacer:
         pend = self.pendant[idx_k]
 
         fb = n_touched == 0
+        if fb.any() and cfg.keep_at_most > K:
+            # the fallback fabricates keep_at_most rows even when the tree
+            # has fewer branches (reference loops 0..keep_at_most regardless,
+            # place.cpp:141-152); widen the batch to hold them
+            pad = ((0, 0), (0, cfg.keep_at_most - K))
+            ids = np.pad(ids, pad)
+            scores = np.pad(scores, pad)
+            wr = np.pad(wr, pad)
+            counts = np.pad(counts, pad)
+            dist = np.pad(dist, pad)
+            pend = np.pad(pend, pad)
+            keep = np.pad(keep, pad)  # padded columns stay filtered out
+            K = cfg.keep_at_most
         if fb.any():
             # no-match fallback, vectorized (quirk Q2; reference:
             # place.cpp:141-152,164-184 and self._fallback): K fabricated
