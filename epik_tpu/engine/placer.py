@@ -88,6 +88,13 @@ class PlacerConfig:
     #: (~80 GiB/s: row DMAs are scalar-core issue-bound at ~66 ns each),
     #: "auto" = xla
     dense_gather: str = "auto"
+    #: key->row lookup placement for the dense single-device path: "host"
+    #: resolves keys with a threaded binary search over the sorted key array
+    #: on the CPU (overlapped with device compute by the double-buffered
+    #: loop) instead of the device cuckoo lookup, whose tiny-row bucket
+    #: gathers are DMA-issue-bound (~20 ms per 320k keys on v5e); "device"
+    #: keeps the on-chip cuckoo lookup; "auto" = host
+    lookup_where: str = "auto"
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -391,6 +398,58 @@ def _place_batch_device_densedb(
     return _pack_outputs(outs, zero, zero)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "pallas_rows", "interpret"),
+)
+def _place_batch_dense_rows(
+    plane_s,
+    rows,
+    arows,
+    m_f32,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    Wmax: int,
+    Amax: int,
+    k: int,
+    log_eps,
+    eps,
+    pallas_rows: bool = False,
+    interpret: bool = False,
+):
+    """Dense-database step with HOST-side key lookup.
+
+    The cuckoo lookup's bucket gathers are row-issue-bound on TPU (~66 ns
+    per tiny row; ~20 ms per 320k keys on a v5e) while the host resolves the
+    same keys with a threaded binary search over the sorted key array in a
+    few ms -- and that work overlaps device compute in the double-buffered
+    batch loop.  So the single-chip dense path ships precomputed plane row
+    indices and the device does only bandwidth-bound work: row gathers,
+    reductions, correction/LWR/top-k.
+
+    ``Amax == 0`` (a batch with no ambiguous windows -- the common case for
+    real DNA reads) statically elides the whole ambiguity stage.
+    """
+    S, C = dense_sums_from_rows(
+        plane_s, rows, R=R, B=B, Wmax=Wmax,
+        pallas_rows=pallas_rows, interpret=interpret,
+    )
+    if Amax > 0:
+        first, sel_score = dense_amb_from_rows(plane_s, arows, R=R, B=B, Amax=Amax)
+        hit = first < _ORDER_INF
+        f32 = jnp.float32
+        pow10 = jnp.exp(sel_score * f32(math.log(10.0)))
+        V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
+        S = S + jnp.where(hit, V, 0.0)
+        C = C + hit.astype(jnp.int32)
+
+    zero = jnp.int32(0)
+    outs = finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+    return _pack_outputs(outs, zero, zero)
+
+
 def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
                      w_ch=32, pallas_rows=False, interpret=False):
     """Per-read (S, C) sums from the dense score plane (shard-composable:
@@ -408,11 +467,23 @@ def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
     is the faster path (~125-150 GiB/s vs ~80; tools/bench_rowgather.py),
     so it is the default.
     """
-    f32 = jnp.float32
     i32 = jnp.int32
     zero_row = plane_s.shape[0] - 1
     found, row, _ = lookup(table, seed1, seed2, e_hi.reshape(-1), e_lo.reshape(-1))
     rows = jnp.where(found, row.astype(i32), i32(zero_row)).reshape(R, Wmax)
+    return dense_sums_from_rows(
+        plane_s, rows, R=R, B=B, Wmax=Wmax, w_ch=w_ch,
+        pallas_rows=pallas_rows, interpret=interpret,
+    )
+
+
+def dense_sums_from_rows(plane_s, rows, *, R, B, Wmax, w_ch=32,
+                         pallas_rows=False, interpret=False):
+    """Chunked row-gather + reduce given precomputed plane row indices
+    (misses / padding = the all-zero last row)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    zero_row = plane_s.shape[0] - 1
 
     if pallas_rows:
         from ..ops.pallas.rowgather import GATHER_TR, gather_sums
@@ -452,11 +523,17 @@ def dense_amb_firsthit(table, plane_s, a_hi, a_lo, *, R, B, Amax,
     ``first_g = pmin(first); V_g = psum(where(first == first_g & hit, V, 0))``
     -- each key lives on one shard, so the argmin owner is unique.
     """
-    f32 = jnp.float32
     i32 = jnp.int32
     zero_row = plane_s.shape[0] - 1
     afound, arow, _ = lookup(table, seed1, seed2, a_hi.reshape(-1), a_lo.reshape(-1))
     arows = jnp.where(afound, arow.astype(i32), i32(zero_row)).reshape(R, Amax)
+    return dense_amb_from_rows(plane_s, arows, R=R, B=B, Amax=Amax)
+
+
+def dense_amb_from_rows(plane_s, arows, *, R, B, Amax):
+    """Ambiguous first-hit given precomputed plane row indices."""
+    f32 = jnp.float32
+    i32 = jnp.int32
     A_CH = min(8, Amax)
 
     bw = plane_s.shape[1]
@@ -619,6 +696,9 @@ class JaxPlacer:
         # selectable.  Both paths are bit-identical.
         dg = self.config.dense_gather
         self._pallas_rows = self._dense_db and dg == "pallas"
+        self._host_lookup = (
+            self._dense_db and self.config.lookup_where in ("auto", "host")
+        )
         if self._dense_db:
             # table payload = dense row index (not a CSR offset)
             self.table = build_table(
@@ -708,6 +788,48 @@ class JaxPlacer:
             amb_order=cat(a_order).astype(np.int32),
         )
 
+    def _host_rows(self, keys: np.ndarray) -> np.ndarray:
+        """Resolve keys -> dense plane row indices on the host.
+
+        Binary search over the sorted key array (io/db.py guarantees sorted
+        unique keys); misses map to the all-zero last plane row.  This is
+        the host half of the lookup_where="host" fast path -- it runs on CPU
+        threads that would otherwise idle while the chip computes the
+        previous batch."""
+        dbk = self.db.keys
+        n = dbk.shape[0]
+        if keys.size == 0:
+            return np.empty(0, np.int32)
+        nt = max(1, self.config.host_threads)
+        if nt > 1 and keys.size >= 1 << 16:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._tok_pool is None:
+                self._tok_pool = ThreadPoolExecutor(max_workers=nt)
+            chunk = -(-keys.size // nt)
+            parts = [keys[i : i + chunk] for i in range(0, keys.size, chunk)]
+            # np.searchsorted releases the GIL, so chunks run concurrently
+            idx = np.concatenate(
+                list(self._tok_pool.map(lambda q: np.searchsorted(dbk, q), parts))
+            )
+        else:
+            idx = np.searchsorted(dbk, keys)
+        idx_c = np.minimum(idx, n - 1)
+        return np.where(dbk[idx_c] == keys, idx_c, n).astype(np.int32)
+
+    def _rows_matrix(self, keys: np.ndarray, read: np.ndarray, R: int, width: int):
+        """(R, width) per-read plane-row matrix in processing order; padding
+        slots hold the all-zero row index."""
+        zero_row = self.db.keys.shape[0]
+        M = np.full((R, width), zero_row, dtype=np.int32)
+        if keys.size:
+            rows = self._host_rows(keys)
+            counts = np.bincount(read, minlength=R)
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            cols = np.arange(keys.shape[0]) - starts[read]
+            M[read, cols] = rows
+        return M
+
     @staticmethod
     def _key_matrix(keys: np.ndarray, read: np.ndarray, R: int, width: int):
         """(R, width) per-read key matrix in processing order, sentinel-padded."""
@@ -766,8 +888,22 @@ class JaxPlacer:
             # multiple-of-32 buckets: a pow2 bucket wastes up to 2x row
             # gathers on the all-zero padding row
             Wmax = max(32, -(-wpr // 32) * 32)
-            Amax = _bucket(apr, 8)
             K = min(cfg.keep_at_most, self.B)
+            if self._host_lookup:
+                # Amax == 0 statically elides the ambiguity stage for
+                # batches with no ambiguous windows (the common DNA case)
+                Amax = _bucket(apr, 8) if tokens.amb_keys.size else 0
+                rows = self._rows_matrix(tokens.exact_keys, tokens.exact_read, R, Wmax)
+                arows = self._rows_matrix(tokens.amb_keys, tokens.amb_read, R, Amax)
+                out = _place_batch_dense_rows(
+                    self._plane_s,
+                    jnp.asarray(rows), jnp.asarray(arows), jnp.asarray(m_f32),
+                    R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,
+                    log_eps=float(self.log_eps), eps=float(self.eps),
+                    pallas_rows=self._pallas_rows, interpret=self._interpret,
+                )
+                return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
+            Amax = _bucket(apr, 8)
             e_hi, e_lo = self._key_matrix(tokens.exact_keys, tokens.exact_read, R, Wmax)
             a_hi, a_lo = self._key_matrix(tokens.amb_keys, tokens.amb_read, R, Amax)
             out = _place_batch_device_densedb(
