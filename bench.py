@@ -6,8 +6,15 @@ plus run average (reference: epik/src/epik/main.cpp:347-358,368) -- on a
 D652-scale synthetic workload (652-leaf tree, ~1300 branches, k=10, 500k
 phylo-k-mers, 150bp reads).  The reference repo publishes no benchmark
 numbers (SURVEY.md section 6; BASELINE.json "published": {}), so the
-baseline is self-measured: the faithful scalar oracle engine on this host,
-scaled per the entry in BASELINE.md.
+baseline is self-measured: the faithful scalar C++ placer (single thread,
+the reference's default -j 1, main.cpp:213) on this host.
+
+Methodology (round-2 rework): the host is a shared, noisy 2-core VM and the
+TPU is reached through a remote tunnel, so single-shot numbers swing 2-3x.
+TPU passes and baseline passes are *interleaved* and each side reports its
+best pass -- best-of-N approximates the uncontended capability of each
+device, and interleaving ensures both sides sample the same noise regime.
+The persistent JAX compile cache keeps warmup to one cached compile.
 
 Prints exactly ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -16,6 +23,7 @@ Prints exactly ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -28,12 +36,15 @@ def main() -> None:
     import numpy as np
 
     t0 = time.time()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/epik_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from epik_tpu.core.tree import parse_newick
-    from epik_tpu.engine.placer import JaxPlacer
+    from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
     from epik_tpu.engine.reference import ReferencePlacer
     from epik_tpu.io.build import reads_from_reference, reference_like_db
-
-    import jax
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
@@ -48,7 +59,8 @@ def main() -> None:
     MEAN_PLEN = 12.0
     NUM_READS = 20_000
     READ_LEN = 150
-    BATCH = 2000  # larger batches blow up the (R, chunk, B) gather working set
+    BATCH = 2000  # the reference's default batch size (main.cpp:214)
+    PASSES = 5
 
     log("building synthetic database ...")
     db, ref = reference_like_db(
@@ -63,19 +75,20 @@ def main() -> None:
                                  mutation_rate=0.02, seed=7)
     log(f"reads ready ({time.time()-t0:.1f}s)")
 
-    placer = JaxPlacer(db, tree)
-    log(f"cuckoo table: {placer.table.num_buckets} buckets ({time.time()-t0:.1f}s)")
+    # all host CPUs for the (rare) host-side stages; the device-tokenize
+    # fast path does tokenization + lookup on chip
+    cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2))
+    placer = JaxPlacer(db, tree, config=cfg)
+    log(f"placer ready: fast_bytes={placer._fast_bytes} "
+        f"dense_db={placer._dense_db} ({time.time()-t0:.1f}s)")
 
-    # --- warmup (compile) -----------------------------------------------------
+    # --- warmup (compile; persistent-cached across runs) -----------------------
     t_w = time.time()
     placer.place(reads[:BATCH])
     log(f"warmup batch (compile) took {time.time()-t_w:.1f}s")
 
-    # --- timed run (double-buffered, the production batch loop) --------------
-    # best of 3 passes: the shared TPU pool shows bursty contention (same
-    # code has measured 2.7k-14k reads/s across runs), so the best pass is
-    # the device-capability number; all passes are logged
-    def one_pass():
+    # --- TPU pass: the production double-buffered batch loop -------------------
+    def tpu_pass():
         t_run = time.time()
         placed = 0
         pending = None
@@ -90,32 +103,44 @@ def main() -> None:
         placed += pending[1]
         return placed / (time.time() - t_run)
 
-    passes = []
-    for i in range(3):
-        passes.append(one_pass())
-        log(f"pass {i + 1}: {passes[-1]:.0f} reads/s/chip")
-    rps = max(passes)
-    log(f"best of {len(passes)} passes: {rps:.0f} reads/s/chip")
-
-    # --- baseline: faithful scalar implementation at native (C++) speed -------
-    # single-thread C++ mirroring the reference algorithm (the reference
-    # binary itself cannot be built here: its i2l submodule is empty)
+    # --- baseline pass: faithful scalar C++ placer, single thread --------------
+    # (the reference binary itself cannot be built here: its i2l submodule
+    # is empty; this is the same algorithm at native speed)
+    base_seqs = [s for _, s in reads[:4000]]
     try:
         from epik_tpu.native import NativeScalarPlacer
 
         nat = NativeScalarPlacer(db)
-        base_n = min(4000, NUM_READS)
-        t_b = time.time()
-        nat.place_scores([s for _, s in reads[:base_n]])
-        base_rps = base_n / (time.time() - t_b)
-        log(f"native scalar baseline: {base_rps:.0f} reads/s (C++ single thread)")
+
+        def base_pass():
+            t_b = time.time()
+            nat.place_scores(base_seqs)
+            return len(base_seqs) / (time.time() - t_b)
     except Exception as e:  # pragma: no cover
-        log(f"native baseline unavailable ({e}); falling back to python oracle")
-        base_n = 400
-        t_b = time.time()
-        ReferencePlacer(db, tree).place(reads[:base_n])
-        base_rps = base_n / (time.time() - t_b)
-        log(f"scalar-oracle baseline: {base_rps:.0f} reads/s (on {base_n} reads)")
+        log(f"native baseline unavailable ({e}); python oracle fallback")
+        oracle = ReferencePlacer(db, tree)
+        oseqs = reads[:400]
+
+        def base_pass():
+            t_b = time.time()
+            oracle.place(oseqs)
+            return len(oseqs) / (time.time() - t_b)
+
+    base_pass()  # warm the baseline's caches too
+
+    # --- interleaved measurement ------------------------------------------------
+    tpu_rates, base_rates = [], []
+    for i in range(PASSES):
+        tpu_rates.append(tpu_pass())
+        base_rates.append(base_pass())
+        log(f"pass {i + 1}: tpu {tpu_rates[-1]:.0f} reads/s/chip | "
+            f"baseline {base_rates[-1]:.0f} reads/s")
+
+    rps = max(tpu_rates)
+    base_rps = max(base_rates)
+    med = sorted(tpu_rates)[len(tpu_rates) // 2]
+    log(f"tpu best {rps:.0f} median {med:.0f} reads/s/chip | "
+        f"baseline best {base_rps:.0f} reads/s (C++ single thread)")
 
     print(json.dumps({
         "metric": "reads_placed_per_sec_per_chip",

@@ -321,6 +321,72 @@ class TestDenseDB:
         assert not p._dense_db
 
 
+class TestDeviceTokenize:
+    """The device-tokenize fast path (raw bytes in, rows computed on chip)."""
+
+    def test_fast_path_selected_for_dna(self):
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=70)
+        tree = parse_newick(db.tree())
+        p = JaxPlacer(db, tree)
+        assert p._fast_bytes  # DNA, k<=13, dense planes fit
+        p_host = JaxPlacer(db, tree, config=PlacerConfig(tokenize_where="host"))
+        assert not p_host._fast_bytes
+
+    def test_not_selected_for_amino_or_large_k(self):
+        from epik_tpu.engine.placer import JaxPlacer
+
+        db = random_db(num_leaves=12, kmer_size=4, num_kmers=400, seed=71,
+                       sequence_type="amino")
+        tree = parse_newick(db.tree())
+        assert not JaxPlacer(db, tree)._fast_bytes
+
+    def test_matches_host_tokenize_and_oracle(self):
+        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
+
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=72)
+        tree = parse_newick(db.tree())
+        dev = JaxPlacer(db, tree)
+        host = JaxPlacer(db, tree, config=PlacerConfig(tokenize_where="host"))
+        ref = ReferencePlacer(db, tree)
+        assert dev._fast_bytes and not host._fast_bytes
+        reads = random_reads(40, length=35, seed=73, ambig_rate=0.10)
+        # edge cases: short read, all-miss read, lowercase, mixed lengths,
+        # a read with an invalid character, and a duplicate (quirk Q8)
+        reads += [
+            ("short", b"AC"),
+            ("nohit", b"T" * 18),
+            ("lower", b"acgtacgtacgt"),
+            ("longer", b"ACGT" * 30),
+            ("badchar", b"ACG-TACGTACG"),
+            ("dup", reads[0][1]),
+        ]
+        out_dev = dev.place(reads)
+        assert_equivalent(ref.place(reads), out_dev)
+        assert_equivalent(host.place(reads), out_dev)
+
+    def test_no_cuckoo_table_built_on_fast_path(self):
+        from epik_tpu.engine.placer import JaxPlacer
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=74)
+        tree = parse_newick(db.tree())
+        p = JaxPlacer(db, tree)
+        reads = random_reads(10, length=30, seed=75)
+        p.place(reads)
+        assert p._table is None  # lazy: never probed, never built
+
+    def test_all_short_batch_falls_back(self):
+        from epik_tpu.engine.placer import JaxPlacer
+
+        db = random_db(num_leaves=16, kmer_size=6, num_kmers=512, seed=76)
+        tree = parse_newick(db.tree())
+        p = JaxPlacer(db, tree)
+        ref = ReferencePlacer(db, tree)
+        reads = [("a", b"ACG"), ("b", b"C")]  # every read shorter than k
+        assert_equivalent(ref.place(reads), p.place(reads))
+
+
 class TestHostThreads:
     def test_threaded_tokenize_matches(self):
         from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
