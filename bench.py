@@ -57,9 +57,17 @@ def main() -> None:
     K = 10
     REF_LEN = 520_000
     MEAN_PLEN = 12.0
-    NUM_READS = 20_000
     READ_LEN = 150
-    BATCH = 2000  # the reference's default batch size (main.cpp:214)
+    # production batch geometry for a remote-attached chip: every dispatch
+    # costs a fixed ~23 ms RPC round trip (tools/bench_dispatch.py), so the
+    # batch is large and INFLIGHT batches are placed concurrently from
+    # worker threads to hide it.  (The reference's own default is 2000
+    # synchronous reads/batch, main.cpp:214 -- the CLI keeps that default;
+    # this is the tuned configuration, like running the reference with
+    # --batch-size tuned.)
+    BATCH = 8192
+    INFLIGHT = 4
+    NUM_READS = 10 * BATCH  # enough batches for pipeline steady state
     PASSES = 5
 
     log("building synthetic database ...")
@@ -87,20 +95,24 @@ def main() -> None:
     placer.place(reads[:BATCH])
     log(f"warmup batch (compile) took {time.time()-t_w:.1f}s")
 
-    # --- TPU pass: the production double-buffered batch loop -------------------
+    # --- TPU pass: the production in-flight batch loop -------------------------
+    # worker threads each run a whole batch's place() so the per-step RPC
+    # latencies (dispatch, upload, fetch) overlap; the device serializes the
+    # compute, which is what ends up being measured (engine/pipeline.py)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=INFLIGHT)
+
     def tpu_pass():
         t_run = time.time()
+        futs = [
+            pool.submit(placer.place, reads[start : start + BATCH])
+            for start in range(0, NUM_READS, BATCH)
+        ]
         placed = 0
-        pending = None
-        for start in range(0, NUM_READS, BATCH):
-            batch = reads[start : start + BATCH]
-            handle = placer.place_async(batch)
-            if pending is not None:
-                placer.place_wait(pending[0])
-                placed += pending[1]
-            pending = (handle, len(batch))
-        placer.place_wait(pending[0])
-        placed += pending[1]
+        for f in futs:
+            f.result()  # array-backed collection; rows go straight to jplace
+            placed += BATCH
         return placed / (time.time() - t_run)
 
     # --- baseline pass: faithful scalar C++ placer, single thread --------------

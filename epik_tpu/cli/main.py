@@ -72,6 +72,9 @@ def epik():
                    "hash-sharded when > 1); remaining devices go data-parallel.")
 @click.option("--platform", type=str, default=None,
               help="Force a jax platform (e.g. cpu, tpu). Default: jax's choice.")
+@click.option("--inflight", type=int, default=3, show_default=True,
+              help="Batches placed concurrently (hides per-dispatch device/"
+                   "tunnel latency; 1 = the reference's synchronous loop).")
 @click.option("--resume", is_flag=True, default=False,
               help="Resume an interrupted run: keep complete placements in the "
                    "existing output file and continue from the next read.")
@@ -81,8 +84,8 @@ def epik():
               help="Capture a jax profiler trace of the run into this directory.")
 @click.argument("input_file", type=click.Path(exists=True))
 def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
-          keep_at_most, keep_factor, engine, n_model, platform, resume, verbose,
-          profile_dir, input_file):
+          keep_at_most, keep_factor, engine, n_model, platform, inflight,
+          resume, verbose, profile_dir, input_file):
     """Places .fasta files using the input phylo-k-mer database.
 
     epik place -s [nucl|amino] -i DB.eptk -o output file.fasta
@@ -95,7 +98,7 @@ def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
         database, states, omega, mu, outputdir, threads, max_ram, input_file,
         batch_size=batch_size, keep_at_most=keep_at_most, keep_factor=keep_factor,
         engine=engine, resume=resume, verbose=verbose, profile_dir=profile_dir,
-        n_model=n_model,
+        n_model=n_model, inflight=inflight,
     )
     if rc:
         raise SystemExit(rc)
@@ -141,7 +144,7 @@ def make_output_filename(input_file: str, output_dir: str) -> str:
 def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
                   input_file, batch_size=2000, keep_at_most=7, keep_factor=0.01,
                   engine="jax", invocation=None, resume=False, verbose=False,
-                  profile_dir=None, n_model=1) -> int:
+                  profile_dir=None, n_model=1, inflight=3) -> int:
     """Full pipeline orchestration (reference: main.cpp:237-383)."""
     if not (0.0 <= mu <= 1.0):
         click.echo("Error: Mu has to a value in [0, 1]", err=True)
@@ -269,7 +272,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
 
         jax.profiler.start_trace(profile_dir)
     try:
-        stats = run_pipeline(placer, reader, writer, progress=progress)
+        stats = run_pipeline(placer, reader, writer, progress=progress,
+                             inflight=inflight)
     finally:
         if profile_dir:
             import jax

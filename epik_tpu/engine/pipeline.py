@@ -1,24 +1,35 @@
-"""Double-buffered host pipeline for the batch loop.
+"""In-flight host pipeline for the batch loop.
 
 The reference's loop is fully synchronous: read batch -> place -> write
 (reference: epik/src/epik/main.cpp:332-365; a ``<future>`` include and
-``is_busy`` helper exist but are dead code, main.cpp:4,39-43).  Here three
-stages overlap:
+``is_busy`` helper exist but are dead code, main.cpp:4,39-43).  Here the
+stages overlap with ``inflight`` batches being placed concurrently:
 
-  reader thread:   FASTA parse of batch N+2           (io/fasta.py or native)
-  main thread:     tokenize + dispatch batch N+1      (placer.place_async)
-  device:          computes batch N                   (async XLA dispatch)
-  main thread:     fetch + assemble + write batch N   (placer.place_wait)
+  reader thread:    FASTA parse ahead              (io/fasta.py or native)
+  placer pool:      ``inflight`` worker threads, each running one batch's
+                    full place() -- tokenize, upload, device dispatch,
+                    result fetch, assembly.  On a remote-attached TPU every
+                    one of those steps costs a host-blocking RPC round trip
+                    (measured ~23 ms dispatch + ~26 ms/MB upload on the
+                    axon tunnel), so overlapping whole batches in threads
+                    is what actually hides the latency; the GIL is released
+                    inside the RPC waits and numpy, so threads scale.
+  main thread:      collects finished batches IN SUBMISSION ORDER
+  writer thread:    jplace serialization
 
-With a placer exposing only synchronous ``place`` (the scalar oracle), the
-pipeline degrades gracefully to read-ahead only.
+The device itself serializes compute, so throughput converges to the
+device step time (plus any non-overlapped host work), not the tunnel
+round trips.  With a placer exposing only synchronous ``place`` this is
+still correct -- each worker just blocks a little longer.
 """
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 __all__ = ["run_pipeline", "PipelineStats"]
 
@@ -32,8 +43,8 @@ class PipelineStats:
         self.num_iterations = 0
         self.average_speed = 0.0
         self.wall_seconds = 0.0
-        self.dispatch_seconds = 0.0  # tokenize + pad + async device submit
-        self.wait_seconds = 0.0  # device sync + fetch + assemble
+        self.dispatch_seconds = 0.0  # batch submission (host-side staging)
+        self.wait_seconds = 0.0  # blocked on a batch's completion
         self.write_seconds = 0.0  # jplace serialization
 
     def summary(self) -> str:
@@ -45,7 +56,7 @@ class PipelineStats:
         )
 
 
-def _reader_thread(reader, q: queue.Queue, depth: int):
+def _reader_thread(reader, q: queue.Queue):
     try:
         while True:
             batch = reader.next_batch()
@@ -56,20 +67,22 @@ def _reader_thread(reader, q: queue.Queue, depth: int):
         q.put(e)
 
 
-def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> PipelineStats:
+def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2,
+                 inflight: int = 3) -> PipelineStats:
     """Stream all batches from ``reader`` through ``placer`` into ``writer``.
 
     ``progress(seq_per_second, num_seq_placed, bytes_read)`` is called per
-    batch (the reference's meter, main.cpp:347-358).
+    batch (the reference's meter, main.cpp:347-358).  ``inflight`` batches
+    are placed concurrently; results are written in input order.
     """
     stats = PipelineStats()
-    q: queue.Queue = queue.Queue(maxsize=read_ahead)
-    t = threading.Thread(target=_reader_thread, args=(reader, q, read_ahead), daemon=True)
+    q: queue.Queue = queue.Queue(maxsize=max(read_ahead, inflight + 1))
+    t = threading.Thread(target=_reader_thread, args=(reader, q), daemon=True)
     t.start()
 
     # writer thread: jplace serialization overlaps the next batch's compute;
     # a single consumer preserves append order
-    wq: queue.Queue = queue.Queue(maxsize=read_ahead)
+    wq: queue.Queue = queue.Queue(maxsize=max(read_ahead, inflight + 1))
     werr: list = []
 
     def _writer_thread():
@@ -88,14 +101,15 @@ def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> 
     wt = threading.Thread(target=_writer_thread, daemon=True)
     wt.start()
 
-    has_async = hasattr(placer, "place_async")
+    inflight = max(1, inflight)
+    pool = ThreadPoolExecutor(max_workers=inflight)
+    pending: collections.deque = collections.deque()  # (future, size, t_start)
     begin = time.monotonic()
-    pending = None  # (pending_handle_or_result, batch_size, t_start)
 
-    def flush(p):
-        handle, bsize, t_start = p
+    def flush_one():
+        fut, bsize, t_start = pending.popleft()
         t0 = time.monotonic()
-        placed = placer.place_wait(handle) if has_async else handle
+        placed = fut.result()  # re-raises placer exceptions
         stats.wait_seconds += time.monotonic() - t0
         ms = max((time.monotonic() - t_start) * 1000.0, 1.0)
         if werr:
@@ -108,20 +122,23 @@ def run_pipeline(placer, reader, writer, progress=None, read_ahead: int = 2) -> 
         if progress is not None:
             progress(seq_per_second, stats.num_seq_placed, reader.bytes_read())
 
-    while True:
-        batch = q.get()
-        if isinstance(batch, BaseException):
-            raise batch
-        if not batch:
-            break
-        t_start = time.monotonic()
-        handle = placer.place_async(batch) if has_async else placer.place(batch)
-        stats.dispatch_seconds += time.monotonic() - t_start
-        if pending is not None:
-            flush(pending)
-        pending = (handle, len(batch), t_start)
-    if pending is not None:
-        flush(pending)
+    try:
+        while True:
+            batch = q.get()
+            if isinstance(batch, BaseException):
+                raise batch
+            if not batch:
+                break
+            t_start = time.monotonic()
+            fut = pool.submit(placer.place, batch)
+            stats.dispatch_seconds += time.monotonic() - t_start
+            pending.append((fut, len(batch), t_start))
+            if len(pending) >= inflight:
+                flush_one()
+        while pending:
+            flush_one()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     wq.put(None)
     wt.join()
     if werr:

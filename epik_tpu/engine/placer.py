@@ -501,7 +501,7 @@ def _place_batch_dense_bytes(
         bytes_mat, lut, direct, k=k, sigma=sigma, num_kmers=num_kmers
     )
     W = rows.shape[1]
-    Wp = -(-W // 32) * 32  # chunked-gather/pallas width contract
+    Wp = -(-W // 16) * 16  # chunked-gather (w_ch=16) / pallas width contract
     rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=num_kmers)
     S, C = dense_sums_from_rows(
         plane_s, rows, R=R, B=B, Wmax=Wp,
@@ -522,7 +522,7 @@ def _place_batch_dense_bytes(
 
 
 def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
-                     w_ch=32, pallas_rows=False, interpret=False):
+                     w_ch=16, pallas_rows=False, interpret=False):
     """Per-read (S, C) sums from the dense score plane (shard-composable:
     psum both).
 
@@ -548,7 +548,7 @@ def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
     )
 
 
-def dense_sums_from_rows(plane_s, rows, *, R, B, Wmax, w_ch=32,
+def dense_sums_from_rows(plane_s, rows, *, R, B, Wmax, w_ch=16,
                          pallas_rows=False, interpret=False):
     """Chunked row-gather + reduce given precomputed plane row indices
     (misses / padding = the all-zero last row)."""
@@ -780,6 +780,9 @@ class JaxPlacer:
         self._avg_plen = float(lens.mean()) if lens.size else 1.0
         self._max_plen = int(lens.max()) if lens.size else 0
 
+        import threading
+
+        self._lazy_lock = threading.Lock()
         self._native_tok = None  # resolved lazily on first batch
         self._tok_pool = None
         mode = self.config.accumulate
@@ -849,16 +852,20 @@ class JaxPlacer:
             )
 
     # -- lazily-built lookup structures -----------------------------------------
+    # guarded by _lazy_lock: place() runs concurrently from the pipeline's
+    # worker threads (engine/pipeline.py), and the cuckoo build is seconds
 
     @property
     def table(self):
         """Cuckoo table, built on first use (device-lookup paths only)."""
         if self._table is None:
-            self._table = build_table(
-                self.db.keys,
-                np.arange(self.db.num_kmers, dtype=np.uint32),
-                self._lens,
-            )
+            with self._lazy_lock:
+                if self._table is None:
+                    self._table = build_table(
+                        self.db.keys,
+                        np.arange(self.db.num_kmers, dtype=np.uint32),
+                        self._lens,
+                    )
         return self._table
 
     @property
@@ -917,7 +924,9 @@ class JaxPlacer:
         chunk = -(-len(seqs) // nt)
         parts = [seqs[i : i + chunk] for i in range(0, len(seqs), chunk)]
         if self._tok_pool is None:
-            self._tok_pool = ThreadPoolExecutor(max_workers=nt)
+            with self._lazy_lock:
+                if self._tok_pool is None:
+                    self._tok_pool = ThreadPoolExecutor(max_workers=nt)
         outs = list(self._tok_pool.map(lambda p: tok(p, self.k, self.alphabet), parts))
         # merge with read-id offsets
         off = 0
@@ -958,7 +967,9 @@ class JaxPlacer:
             from concurrent.futures import ThreadPoolExecutor
 
             if self._tok_pool is None:
-                self._tok_pool = ThreadPoolExecutor(max_workers=nt)
+                with self._lazy_lock:
+                    if self._tok_pool is None:
+                        self._tok_pool = ThreadPoolExecutor(max_workers=nt)
             chunk = -(-keys.size // nt)
             parts = [keys[i : i + chunk] for i in range(0, keys.size, chunk)]
             # np.searchsorted releases the GIL, so chunks run concurrently
@@ -1043,9 +1054,9 @@ class JaxPlacer:
         if self._dense_db:
             wpr = int(np.bincount(tokens.exact_read, minlength=R).max()) if tokens.exact_read.size else 1
             apr = int(np.bincount(tokens.amb_read, minlength=R).max()) if tokens.amb_read.size else 1
-            # multiple-of-32 buckets: a pow2 bucket wastes up to 2x row
+            # multiple-of-16 buckets: a pow2 bucket wastes up to 2x row
             # gathers on the all-zero padding row
-            Wmax = max(32, -(-wpr // 32) * 32)
+            Wmax = max(16, -(-wpr // 16) * 16)
             K = min(cfg.keep_at_most, self.B)
             if self._host_lookup:
                 # Amax == 0 statically elides the ambiguity stage for
@@ -1115,13 +1126,20 @@ class JaxPlacer:
             return None  # no window anywhere; classic path handles fallback
 
         # R is a static jit argument; dedup makes the unique-read count
-        # wander batch to batch, so pad to a 64 multiple to keep the jit
-        # cache bounded (padding rows are all-invalid -> sliced off on fetch)
-        R = -(-R_true // 64) * 64
-        Lmax = -(-Lmax_true // 16) * 16  # bucketed jit cache
+        # wander batch to batch, so pad to a bucket to keep the jit cache
+        # bounded (padding rows are all-invalid -> sliced off on fetch).
+        # Large batches use a coarser bucket: dedup jitter of a few hundred
+        # reads must not spread across several compiled shapes.
+        gran = 256 if R_true > 2048 else 64
+        R = -(-R_true // gran) * gran
+        Lmax = -(-Lmax_true // 8) * 8  # bucketed jit cache
+        # vectorized fill: one join + one fancy scatter (a per-read Python
+        # loop costs ~1.5 us/read, which shows up at large batch sizes)
+        flat = np.frombuffer(b"".join(seqs), np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens_arr)])
         mat = np.zeros((R, Lmax), np.uint8)
-        for i, s in enumerate(seqs):
-            mat[i, : len(s)] = np.frombuffer(s, np.uint8)
+        mat[np.repeat(np.arange(R_true), lens_arr),
+            np.arange(flat.size) - np.repeat(starts[:-1], lens_arr)] = flat
 
         m_signed = lens_arr - self.k + 1
         m_f32 = np.zeros(R, np.float32)

@@ -1,0 +1,134 @@
+"""On-chip experiments for the dense-plane hot loop.
+
+Measures device-step variants for the D652 bench shape (R=2048 reads,
+W=160 window rows, plane (410k, 1408) f32) to pick the fastest formulation:
+
+  a. current: one gather per chunk, two reduces (S sum + count of nonzero)
+  b. adjusted-plane: plane holds s - log10(eps); ONE reduce serves
+     correction + touched test (C never materialized on device)
+  c. chunk-width sweep for (b)
+  d. one whole-batch gather, no fori_loop
+  e. bf16 plane (traffic reference point only)
+  f. Pallas pipelined-DMA rowgather kernel on the adjusted plane
+
+Run: python -m epik_tpu.tools.bench_gather_variants
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/epik_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    log(f"backend: {jax.default_backend()}")
+
+    N_ROWS = 409_955  # bench DB kmers + 1 zero row
+    BW = 1408  # 1303 branches padded to 128 multiple
+    R, W = 2048, 160
+
+    rng = np.random.default_rng(0)
+    # ~12 nonzero postings per row like the bench DB
+    plane = np.zeros((N_ROWS, BW), np.float32)
+    nz_cols = rng.integers(0, 1303, size=(N_ROWS, 12))
+    vals = rng.uniform(0.5, 6.0, size=(N_ROWS, 12)).astype(np.float32)
+    plane[np.arange(N_ROWS)[:, None], nz_cols] = vals
+    plane[-1] = 0.0
+    rows = rng.integers(0, N_ROWS - 1, size=(R, W)).astype(np.int32)
+    # ~12% padding rows hit the zero row, like Wmax bucketing
+    rows[:, 141:] = N_ROWS - 1
+
+    d_plane = jnp.asarray(plane)
+    d_rows = jnp.asarray(rows)
+    d_plane_bf16 = jnp.asarray(plane.astype(jnp.bfloat16))
+
+    useful_gb = R * W * BW * 4 / 1e9
+
+    def sync(out):
+        # block_until_ready does NOT synchronize on the remote-tunnel
+        # backend; a device->host fetch of the raw output does (and adds
+        # no new device program, so no fresh remote compile)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    def timeit(name, fn, *args, reps=10):
+        out = fn(*args)
+        sync(out)
+        t = time.time()
+        sync(out)  # pure re-fetch: measures the sync cost itself
+        fetch_lat = time.time() - t
+        t = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        sync(out)
+        dt = (time.time() - t - fetch_lat) / reps
+        log(f"{name:44s} {dt*1000:7.2f} ms  ({useful_gb/dt:6.0f} GB/s useful, "
+            f"fetch {fetch_lat*1000:.1f} ms)")
+        return dt
+
+    # --- a. current two-reduce formulation -------------------------------------
+    @functools.partial(jax.jit, static_argnames=("w_ch",))
+    def two_reduce(plane_s, rows, w_ch=32):
+        f32, i32 = jnp.float32, jnp.int32
+
+        def body(i, acc):
+            S, C = acc
+            chunk = jax.lax.dynamic_slice(rows, (0, i * w_ch), (R, w_ch))
+            g = plane_s[chunk]
+            return S + jnp.sum(g, axis=1), C + jnp.sum((g != 0).astype(i32), axis=1)
+
+        S, C = jax.lax.fori_loop(
+            0, W // w_ch, body,
+            (jnp.zeros((R, BW), f32), jnp.zeros((R, BW), i32)),
+        )
+        return S, C
+
+    # --- b. adjusted plane: single reduce ---------------------------------------
+    @functools.partial(jax.jit, static_argnames=("w_ch",))
+    def one_reduce(plane_s, rows, w_ch=32):
+        f32 = jnp.float32
+
+        def body(i, S):
+            chunk = jax.lax.dynamic_slice(rows, (0, i * w_ch), (R, w_ch))
+            g = plane_s[chunk]
+            return S + jnp.sum(g.astype(f32), axis=1)
+
+        return jax.lax.fori_loop(0, W // w_ch, body, jnp.zeros((R, BW), f32))
+
+    # --- d. whole-batch gather ---------------------------------------------------
+    @jax.jit
+    def whole(plane_s, rows):
+        g = plane_s[rows]  # (R, W, BW)
+        return jnp.sum(g, axis=1)
+
+    timeit("a. two-reduce w_ch=32 (current)", two_reduce, d_plane, d_rows)
+    for w_ch in (8, 16, 32, 64, 160):
+        timeit(f"b. one-reduce w_ch={w_ch}", functools.partial(one_reduce, w_ch=w_ch),
+               d_plane, d_rows)
+    timeit("d. whole-batch gather+sum", whole, d_plane, d_rows)
+    timeit("e. one-reduce bf16 w_ch=32", one_reduce, d_plane_bf16, d_rows)
+
+    # --- f. Pallas rowgather on adjusted plane ----------------------------------
+    try:
+        from epik_tpu.ops.pallas.rowgather import GATHER_TR, gather_sums
+
+        timeit("f. pallas rowgather (S+C)", functools.partial(gather_sums),
+               d_plane, d_rows)
+    except Exception as e:
+        log(f"pallas rowgather skipped: {e}")
+
+
+if __name__ == "__main__":
+    main()
