@@ -630,43 +630,66 @@ def dense_amb_from_rows(plane_s, arows, *, R, B, Amax):
 
 
 
-def device_tokenize_rows(bytes_mat, lut, direct, *, k: int, sigma: int,
-                         num_kmers: int):
-    """On-device window tokenizer: raw ASCII read bytes -> plane row indices.
+def pack_reads(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Host half of the packed read upload (DNA fast path).
+
+    ``codes``: (R, Lmax) uint8 alphabet codes (exact < 4, others non-exact;
+    0-padding bytes map to the invalid code), Lmax a multiple of 8.
+    Packs 2 bits/char + 1 bad-bit/char + a uint16 length per read into ONE
+    (R, Lmax//4 + Lmax//8 + 2) uint8 buffer -- 2.6x smaller than raw bytes,
+    and a single buffer costs a single upload round trip on remote-attached
+    devices (tools/bench_dispatch.py: ~26 ms/MB + fixed latency each)."""
+    R, L = codes.shape
+    ex = codes < 4
+    c = np.where(ex, codes, 0).astype(np.uint8)
+    c2 = (c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4)
+          | (c[:, 3::4] << 6))
+    bb = np.packbits(~ex, axis=1, bitorder="little")
+    ll = np.empty((R, 2), np.uint8)
+    ll[:, 0] = lens & 0xFF
+    ll[:, 1] = lens >> 8
+    return np.concatenate([c2, bb, ll], axis=1)
+
+
+def device_tokenize_packed(buf, direct, *, k: int, Lmax: int, num_kmers: int):
+    """On-device window tokenizer over the packed read buffer.
 
     The TPU-native replacement for the host tokenize + key->row lookup
     (reference: i2l::to_kmers + db.search, epik/src/epik/place.cpp:294-316):
-    per read row of ``bytes_mat`` (uint8, 0-padded), map characters through
-    the 256-entry alphabet LUT, build every k-window key with k shifted
-    adds (VPU), and resolve keys through the direct-address ``direct``
-    table (4**k int32; absent keys map to the all-zero plane row).  Windows
-    containing any non-exact character (ambiguous or invalid) yield the
-    zero row -- their ambiguity contribution, if any, arrives via the host
-    ambiguity stream.
+    unpack 2-bit codes and bad-bits with shifts (VPU), build every k-window
+    key with k shifted adds, and resolve keys through the direct-address
+    ``direct`` table (4**k int32; absent keys map to the all-zero plane
+    row).  Windows containing any non-exact character (ambiguous, invalid,
+    or padding) yield the zero row -- their ambiguity contribution, if any,
+    arrives via the host ambiguity stream.
 
-    Only valid for sigma == 4 (DNA): keys fit uint32 for k <= 16 and the
-    direct table fits HBM for k <= 13.
+    Returns (rows (R, W) int32, lens (R,) int32).  DNA only: keys fit
+    uint32 for k <= 16 and the direct table fits HBM for k <= 13.
     """
     i32 = jnp.int32
     u32 = jnp.uint32
-    Lmax = bytes_mat.shape[1]
+    R = buf.shape[0]
+    L4, L8 = Lmax // 4, Lmax // 8
+    c2 = buf[:, :L4].astype(i32)
+    bb = buf[:, L4 : L4 + L8].astype(i32)
+    lens = buf[:, L4 + L8].astype(i32) + 256 * buf[:, L4 + L8 + 1].astype(i32)
+    codes = jnp.stack(
+        [(c2 >> (2 * j)) & 3 for j in range(4)], axis=2
+    ).reshape(R, Lmax)
+    bad = jnp.stack([(bb >> j) & 1 for j in range(8)], axis=2).reshape(R, Lmax)
     W = Lmax - k + 1
-    zero_row = i32(num_kmers)  # the all-zero miss row of the plane
-    codes = lut[bytes_mat.astype(i32)].astype(i32)  # (R, Lmax)
-    exact = codes < sigma
-    c = jnp.where(exact, codes, 0).astype(u32)
+    c = codes.astype(u32)
     key = jnp.zeros_like(c[:, :W])
     for j in range(k):
-        key = key * u32(sigma) + c[:, j : j + W]
+        key = key * u32(4) + c[:, j : j + W]
     # window is exact iff all k characters are exact: sliding sum of the
-    # non-exact indicator via an exclusive cumsum difference
-    bad = (~exact).astype(i32)
+    # bad indicator via an exclusive cumsum difference
     cs = jnp.concatenate(
-        [jnp.zeros((bad.shape[0], 1), i32), jnp.cumsum(bad, axis=1)], axis=1
+        [jnp.zeros((R, 1), i32), jnp.cumsum(bad, axis=1)], axis=1
     )
     ok = (cs[:, k : k + W] - cs[:, :W]) == 0
     rows = jnp.take(direct, key.astype(i32), axis=0)
-    return jnp.where(ok, rows, zero_row)
+    return jnp.where(ok, rows, i32(num_kmers)), lens
 
 
 def _pack_outputs(outs, e_total, a_total):
