@@ -463,24 +463,22 @@ def _place_batch_dense_rows(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "R", "B", "K", "Amax", "k", "sigma", "num_kmers",
+        "R", "B", "K", "Amax", "k", "Lmax", "num_kmers",
         "pallas_rows", "interpret",
     ),
 )
 def _place_batch_dense_bytes(
     plane_s,
     direct,
-    lut,
-    bytes_mat,
+    buf,
     arows,
-    m_f32,
     *,
     R: int,
     B: int,
     K: int,
     Amax: int,
     k: int,
-    sigma: int,
+    Lmax: int,
     num_kmers: int,
     log_eps,
     eps,
@@ -489,17 +487,27 @@ def _place_batch_dense_bytes(
 ):
     """Dense-database step with ON-DEVICE tokenization (the fastest path).
 
-    The host ships ONE small uint8 array of raw read bytes; window keys,
-    key->row resolution (direct-address table) and the row-gather sums all
-    happen on chip.  This removes the per-window host work entirely and
-    shrinks the per-batch H2D transfer ~4x versus precomputed row matrices
-    (measured: host searchsorted + row-matrix fill cost ~65 ms per
-    2000x150bp batch on a 2-core host; the device tokenize is ~1 ms of VPU
-    work fused into the same program as the gather).
+    The host ships ONE packed uint8 buffer (2-bit codes + bad-bits + read
+    lengths, see :func:`pack_reads`); window keys, key->row resolution
+    (direct-address table), the per-read window counts and the row-gather
+    sums all happen on chip.  This removes the per-window host work
+    entirely and shrinks the per-batch H2D transfer ~10x versus
+    precomputed row matrices (measured: host searchsorted + row-matrix
+    fill cost ~65 ms per 2000x150bp batch on a 2-core host; the device
+    tokenize is ~1 ms of VPU work fused into the same program as the
+    gather).
     """
-    rows = device_tokenize_rows(
-        bytes_mat, lut, direct, k=k, sigma=sigma, num_kmers=num_kmers
+    rows, lens = device_tokenize_packed(
+        buf, direct, k=k, Lmax=Lmax, num_kmers=num_kmers
     )
+    # correction term uses the size_t-wrapped window count (quirk Q1)
+    f32 = jnp.float32
+    m_signed = lens - jnp.int32(k - 1)
+    m_f32 = jnp.where(
+        m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+    )
+    # len < k (incl. len-0 padding rows) wraps like the reference's size_t
+    # underflow; padding rows beyond the true batch are sliced off on fetch
     W = rows.shape[1]
     Wp = -(-W // 16) * 16  # chunked-gather (w_ch=16) / pallas width contract
     rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=num_kmers)
@@ -842,12 +850,10 @@ class JaxPlacer:
             and self.k <= 13
         )
         self._dev_direct = None
-        self._dev_lut = None
         if self._fast_bytes:
             direct = np.full(4**self.k, n_keys, dtype=np.int32)
             direct[db.keys.astype(np.int64)] = np.arange(n_keys, dtype=np.int32)
             self._dev_direct = jnp.asarray(direct)
-            self._dev_lut = jnp.asarray(self.alphabet.char_code.astype(np.int32))
         if self._dense_db:
             rows_per_posting = np.repeat(
                 np.arange(n_keys, dtype=np.int32), lens.astype(np.int64)
@@ -1147,6 +1153,8 @@ class JaxPlacer:
         Lmax_true = int(lens_arr.max())
         if Lmax_true < self.k:
             return None  # no window anywhere; classic path handles fallback
+        if Lmax_true > 0xFFFF:
+            return None  # packed length field is uint16; classic path
 
         # R is a static jit argument; dedup makes the unique-read count
         # wander batch to batch, so pad to a bucket to keep the jit cache
@@ -1164,13 +1172,9 @@ class JaxPlacer:
         mat[np.repeat(np.arange(R_true), lens_arr),
             np.arange(flat.size) - np.repeat(starts[:-1], lens_arr)] = flat
 
-        m_signed = lens_arr - self.k + 1
-        m_f32 = np.zeros(R, np.float32)
-        m_f32[:R_true] = np.where(
-            m_signed >= 0,
-            m_signed.astype(np.float32),
-            np.float32(float(_U64)) + m_signed.astype(np.float32),
-        ).astype(np.float32)
+        m_signed = lens_arr - self.k + 1  # host copy for assembly (quirk Q1)
+        lens_pad = np.zeros(R, np.int64)
+        lens_pad[:R_true] = lens_arr
 
         # ambiguity stream: host-tokenized only for reads that contain
         # ambiguous characters (quirks Q6/Q7; the device exact path already
@@ -1190,11 +1194,12 @@ class JaxPlacer:
             arows = np.zeros((R, 0), np.int32)
 
         K = min(cfg.keep_at_most, self.B)
+        buf = pack_reads(codes, lens_pad)
         out = _place_batch_dense_bytes(
-            self._plane_s, self._dev_direct, self._dev_lut,
-            jnp.asarray(mat), jnp.asarray(arows), jnp.asarray(m_f32),
-            R=R, B=self.B, K=K, Amax=Amax, k=self.k,
-            sigma=self.alphabet.sigma, num_kmers=self.db.num_kmers,
+            self._plane_s, self._dev_direct,
+            jnp.asarray(buf), jnp.asarray(arows),
+            R=R, B=self.B, K=K, Amax=Amax, k=self.k, Lmax=Lmax,
+            num_kmers=self.db.num_kmers,
             log_eps=float(self.log_eps), eps=float(self.eps),
             pallas_rows=self._pallas_rows, interpret=self._interpret,
         )
