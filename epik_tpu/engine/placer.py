@@ -1327,73 +1327,12 @@ class JaxPlacer:
     def _assemble(
         self, seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K
     ) -> ArrayPlacedCollection:
-        """Vectorized jplace-row decisions; returns an array-backed batch.
-
-        Object construction (engine/types.py::ArrayPlacedCollection) is
-        deferred to first use -- the jplace writer serializes straight from
-        these arrays (io/jplace.py fast path), so in production no Python
-        ``Placement`` objects are ever built.
-        """
-        cfg = self.config
-        n_eff = np.minimum(n_touched, K)
-        # keep-factor filter precomputed: threshold = best_wr * kf (quirk Q3
-        # zeroes kf); placements are score-desc so wr_k[:, 0] is the best
-        kf = np.where(zero_sum, 0.0, cfg.keep_factor)
-        thresh = wr_k[:, 0] * kf
-        jcols = np.arange(K)[None, :]
-        keep = (jcols < n_eff[:, None]) & (wr_k >= thresh[:, None])
-
-        ids = idx_k.astype(np.int32, copy=True)
-        scores = scores_k.astype(np.float32, copy=True)
-        wr = wr_k.astype(np.float64, copy=True)
-        counts = counts_k.astype(np.int32, copy=True)
-        dist = self.distal[idx_k]
-        pend = self.pendant[idx_k]
-
-        fb = n_touched == 0
-        if fb.any() and cfg.keep_at_most > K:
-            # the fallback fabricates keep_at_most rows even when the tree
-            # has fewer branches (reference loops 0..keep_at_most regardless,
-            # place.cpp:141-152); widen the batch to hold them
-            pad = ((0, 0), (0, cfg.keep_at_most - K))
-            ids = np.pad(ids, pad)
-            scores = np.pad(scores, pad)
-            wr = np.pad(wr, pad)
-            counts = np.pad(counts, pad)
-            dist = np.pad(dist, pad)
-            pend = np.pad(pend, pad)
-            keep = np.pad(keep, pad)  # padded columns stay filtered out
-            K = cfg.keep_at_most
-        if fb.any():
-            # no-match fallback, vectorized (quirk Q2; reference:
-            # place.cpp:141-152,164-184 and self._fallback): K fabricated
-            # placements on branches 0..K-1, score ts = f32(log_eps * m / k)
-            # with the size_t-wrapped window count m (quirk Q1), weight
-            # ratio power/(B*power) in double with underflow-to-zero (Q3).
-            m_f64 = m_signed.astype(np.float64)
-            m_w32 = np.where(
-                m_signed >= 0, m_f64, m_f64 + float(_U64)
-            ).astype(np.float32)
-            ts32 = self.log_eps * m_w32 / np.float32(self.k)  # f32 math
-            power = 10.0 ** ts32.astype(np.float64)
-            score_sum = float(self.B) * power
-            wr_fb = np.divide(
-                power, score_sum,
-                out=np.zeros_like(power),
-                where=(score_sum != 0.0) & (power != 0.0),
-            )
-            ids[fb] = np.arange(K, dtype=np.int32)[None, :]
-            scores[fb] = ts32[fb][:, None]
-            wr[fb] = wr_fb[fb][:, None]
-            counts[fb] = 0
-            dist[fb] = 0.0
-            pend[fb] = 0.0
-            # all K fabricated rows survive the ratio filter: equal ratios
-            # always pass wr >= wr*kf (and Q3 zeroes kf when the sum is 0)
-            keep[fb] = True
-
-        return ArrayPlacedCollection(
-            sequence_map, seqs, ids, scores, wr, counts, dist, pend, keep
+        return assemble_arrays(
+            seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k,
+            n_touched, zero_sum, K,
+            distal=self.distal, pendant=self.pendant, log_eps=self.log_eps,
+            k=self.k, B=self.B, keep_at_most=self.config.keep_at_most,
+            keep_factor=self.config.keep_factor,
         )
 
     def _fallback(self, m_wrapped: int) -> tuple[list[Placement], bool]:
@@ -1413,3 +1352,78 @@ class JaxPlacer:
             wr = 0.0 if (score_sum == 0.0 or power == 0.0) else power / score_sum
             out.append(Placement(i, ts, wr, 0, 0.0, 0.0))
         return out, score_sum == 0.0
+
+
+def assemble_arrays(
+    seqs, sequence_map, m_signed, scores_k, idx_k, counts_k, wr_k,
+    n_touched, zero_sum, K, *, distal, pendant, log_eps, k, B,
+    keep_at_most, keep_factor,
+) -> ArrayPlacedCollection:
+    """Vectorized jplace-row decisions; returns an array-backed batch.
+
+    Shared by the single-chip and sharded placers.  Object construction
+    (engine/types.py::ArrayPlacedCollection) is deferred to first use --
+    the jplace writer serializes straight from these arrays (io/jplace.py
+    fast path), so in production no Python ``Placement`` objects are ever
+    built.
+    """
+    n_eff = np.minimum(n_touched, K)
+    # keep-factor filter precomputed: threshold = best_wr * kf (quirk Q3
+    # zeroes kf); placements are score-desc so wr_k[:, 0] is the best
+    kf = np.where(zero_sum, 0.0, keep_factor)
+    thresh = wr_k[:, 0] * kf
+    jcols = np.arange(K)[None, :]
+    keep = (jcols < n_eff[:, None]) & (wr_k >= thresh[:, None])
+
+    ids = idx_k.astype(np.int32, copy=True)
+    scores = scores_k.astype(np.float32, copy=True)
+    wr = wr_k.astype(np.float64, copy=True)
+    counts = counts_k.astype(np.int32, copy=True)
+    dist = distal[idx_k]
+    pend = pendant[idx_k]
+
+    fb = n_touched == 0
+    if fb.any() and keep_at_most > K:
+        # the fallback fabricates keep_at_most rows even when the tree
+        # has fewer branches (reference loops 0..keep_at_most regardless,
+        # place.cpp:141-152); widen the batch to hold them
+        pad = ((0, 0), (0, keep_at_most - K))
+        ids = np.pad(ids, pad)
+        scores = np.pad(scores, pad)
+        wr = np.pad(wr, pad)
+        counts = np.pad(counts, pad)
+        dist = np.pad(dist, pad)
+        pend = np.pad(pend, pad)
+        keep = np.pad(keep, pad)  # padded columns stay filtered out
+        K = keep_at_most
+    if fb.any():
+        # no-match fallback, vectorized (quirk Q2; reference:
+        # place.cpp:141-152,164-184): K fabricated placements on branches
+        # 0..K-1, score ts = f32(log_eps * m / k) with the size_t-wrapped
+        # window count m (quirk Q1), weight ratio power/(B*power) in
+        # double with underflow-to-zero (Q3).
+        m_f64 = m_signed.astype(np.float64)
+        m_w32 = np.where(
+            m_signed >= 0, m_f64, m_f64 + float(_U64)
+        ).astype(np.float32)
+        ts32 = log_eps * m_w32 / np.float32(k)  # f32 math
+        power = 10.0 ** ts32.astype(np.float64)
+        score_sum = float(B) * power
+        wr_fb = np.divide(
+            power, score_sum,
+            out=np.zeros_like(power),
+            where=(score_sum != 0.0) & (power != 0.0),
+        )
+        ids[fb] = np.arange(K, dtype=np.int32)[None, :]
+        scores[fb] = ts32[fb][:, None]
+        wr[fb] = wr_fb[fb][:, None]
+        counts[fb] = 0
+        dist[fb] = 0.0
+        pend[fb] = 0.0
+        # all K fabricated rows survive the ratio filter: equal ratios
+        # always pass wr >= wr*kf (and Q3 zeroes kf when the sum is 0)
+        keep[fb] = True
+
+    return ArrayPlacedCollection(
+        sequence_map, seqs, ids, scores, wr, counts, dist, pend, keep
+    )
