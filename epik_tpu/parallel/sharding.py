@@ -1,22 +1,33 @@
-"""Multi-device placement: data-parallel reads x hash-sharded database.
+"""Multi-device placement: data-parallel reads x column-sharded database.
 
 TPU-native distribution (green-field vs the reference, which is a single
 OpenMP process -- SURVEY.md sections 2 and 5.8):
 
-* **data axis**: unique reads of a batch are split into contiguous groups,
-  one per data shard; no communication -- the analog of the reference's
-  OpenMP parallel-for over reads (reference: epik/src/epik/place.cpp:218-229).
-* **model axis**: the k-mer table is partitioned by key hash; every model
-  shard looks up the *full* replicated key stream against its own cuckoo
-  table.  A key misses on every shard but its owner, so no routing or
-  all-to-all is needed; the dense per-(read, branch) partial score/count
-  matrices merge with ``psum`` over ICI, and the ambiguous first-hit
-  combines as ``pmin`` over processing order followed by a masked ``psum``
-  of the owning shard's contribution (each key lives on exactly one shard,
-  so the argmin is unique).
+* **data axis**: unique reads of a batch split into contiguous groups, one
+  per data shard; no communication -- the analog of the reference's OpenMP
+  parallel-for over reads (reference: epik/src/epik/place.cpp:218-229).
+* **model axis**, dense mode (the default): the dense score plane is
+  partitioned by **branch columns** -- each model shard holds the full
+  k-mer rows for a contiguous slice of tree branches.  The window row
+  stream is replicated over the model axis (it is tiny next to the plane),
+  so the exact row-gather sums *and* the ambiguous first-hit are entirely
+  local to each shard -- the only collectives are per-read scalars for the
+  LWR normalization (``psum``/``pmax`` over ICI) and an ``all_gather`` of
+  K top-k candidates per read.  Communication volume per batch is
+  O(R * K * n_model) floats, independent of tree size.  This is also what
+  makes 10k+-taxa trees fit: per-shard plane bytes shrink linearly in the
+  model-axis size.
+* **model axis**, CSR mode (databases too large for dense planes even
+  sharded): the k-mer table is partitioned by key hash; every shard looks
+  up the full replicated key stream against its own cuckoo table (a key
+  misses everywhere but its owner), the dense per-(read, branch) partial
+  score/count matrices merge with ``psum``, and the ambiguous first-hit
+  merges as ``pmin`` over processing order plus an owner-masked ``psum``.
 
-Everything below runs inside one ``shard_map`` over a ('data', 'model')
-mesh and is jit-compiled once per budget bucket.
+Everything below runs inside ``shard_map`` over a ('data', 'model') mesh;
+kernels are module-level ``jax.jit`` functions keyed only on static shape
+parameters (never on the placer instance), so placers sharing a mesh and
+geometry share compilations.
 """
 
 from __future__ import annotations
@@ -28,6 +39,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..core.alphabet import get_alphabet
@@ -36,21 +48,28 @@ from ..core.scoring import score_threshold
 from ..core.tree import PhyloTree
 from ..engine.placer import (
     _ORDER_INF,
+    _POW10_ZERO,
     _U64,
     PlacerConfig,
     _bucket,
+    _Pending,
     _pack_outputs,
     accumulate_amb_firsthit,
     accumulate_exact,
+    assemble_arrays,
+    dense_amb_from_rows,
+    dense_sums_from_rows,
+    device_tokenize_packed,
     finish_scores,
+    pack_reads,
     unpack_outputs,
 )
-from ..engine.types import PlacedCollection, PlacedSequence, Placement
+from ..engine.types import PlacedCollection
 from ..io.db import PhyloKmerDB
 from ..ops.hashtable import build_table
 from .mesh import DATA_AXIS, MODEL_AXIS
 
-__all__ = ["ShardedJaxPlacer", "shard_db_by_hash"]
+__all__ = ["ShardedJaxPlacer", "shard_db_by_hash", "shard_db_columns"]
 
 _SENTINEL_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -67,76 +86,93 @@ def _shard_of_key(keys: np.ndarray, n_shards: int) -> np.ndarray:
     return (x % np.uint32(n_shards)).astype(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# database partitioning
+# ---------------------------------------------------------------------------
+
+
+def shard_db_columns(db: PhyloKmerDB, n_model: int, num_branches: int):
+    """Column-sharded dense score planes: [n_model, n_keys+1, bwl] float32.
+
+    Shard ``s`` owns global branch columns [s*bwl, (s+1)*bwl); ``bwl`` is
+    the per-shard width, a 128 multiple (aligned row gathers).  Absent
+    (key, branch) cells are exactly 0.0; stored scores of exactly 0.0
+    (P == 1) are nudged to a tiny normal negative float32 so presence stays
+    ``!= 0`` (TPUs flush subnormals).  The last plane row is the all-zero
+    miss row.  One vectorized scatter builds all shards.
+    """
+    bwl = -(-num_branches // (128 * n_model)) * 128
+    n_keys = db.num_kmers
+    lens = np.diff(db.row_off)
+    rows_pp = np.repeat(np.arange(n_keys, dtype=np.int64), lens.astype(np.int64))
+    br = db.branches.astype(np.int64)
+    sc = np.where(db.scores == 0.0, np.float32(-1e-37), db.scores).astype(np.float32)
+    shard = br // bwl
+    planes = np.zeros((n_model, n_keys + 1, bwl), np.float32)
+    planes[shard, rows_pp, br - shard * bwl] = sc
+    return planes, bwl
+
+
 @dataclasses.dataclass
 class _ShardedDB:
-    """Stacked per-shard tables + posting arrays (leading model axis)."""
+    """Stacked per-shard cuckoo tables + posting arrays (leading model axis)."""
 
     packed: np.ndarray  # [n_model, nb, 4*BUCKET] uint32 (packed cuckoo rows)
     postings: np.ndarray  # [n_model, Pmax, 2] uint32 rows [branch | score bits]
     row_off: np.ndarray  # [n_model, rows_pad] int32 local CSR offsets
     seeds: list[tuple[int, int]]
     avg_plen: float
-    plane_s: np.ndarray | None = None  # [n_model, rows_max+1, B] f32 (dense;
-    # absent cells exactly 0.0, presence == nonzero)
 
 
-def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
-                     num_branches: int | None = None) -> _ShardedDB:
-    """Partition the DB by key hash.  With ``dense``, also build per-shard
-    dense planes (see engine/placer.py dense-DB mode) and tables whose
-    payload is the local plane row index."""
-    lens_all = np.diff(db.row_off)
+def shard_db_by_hash(db: PhyloKmerDB, n_model: int) -> _ShardedDB:
+    """Partition the CSR database by key hash (the big-DB mode).
+
+    Fully vectorized: postings are permuted once by a stable argsort over
+    the per-posting shard id (stable => within a shard, postings keep the
+    ascending-key order that the local CSR expects).
+    """
+    lens_all = np.diff(db.row_off).astype(np.int64)
     shard_ids = _shard_of_key(db.keys, n_model)
-    per_shard = []
-    max_n = max(1, int(np.max(np.bincount(shard_ids, minlength=n_model))) if db.num_kmers else 1)
-    nb_target = None
-    for s in range(n_model):
-        sel = shard_ids == s
-        keys = db.keys[sel]
-        lens = lens_all[sel].astype(np.int64)
-        # local CSR
-        local_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        idx_rows = np.flatnonzero(sel)
-        branches = np.concatenate(
-            [db.branches[db.row_off[i] : db.row_off[i + 1]] for i in idx_rows]
-        ) if idx_rows.size else np.empty(0, np.uint32)
-        scores = np.concatenate(
-            [db.scores[db.row_off[i] : db.row_off[i + 1]] for i in idx_rows]
-        ) if idx_rows.size else np.empty(0, np.float32)
-        per_shard.append((keys, local_off, branches, scores))
+
+    post_shard = np.repeat(shard_ids, lens_all)
+    perm = np.argsort(post_shard, kind="stable")
+    branches_sorted = db.branches[perm]
+    scores_sorted = db.scores[perm]
+    post_counts = np.bincount(post_shard, minlength=n_model).astype(np.int64)
+    post_starts = np.concatenate([[0], np.cumsum(post_counts)])
+
+    key_counts = np.bincount(shard_ids, minlength=n_model)
+    max_n = max(1, int(key_counts.max()) if db.num_kmers else 1)
 
     # identical table geometry across shards (required for stacking)
     from ..ops.hashtable import BUCKET, _next_pow2
 
     nb_target = _next_pow2(max(1, int(np.ceil(max_n / (BUCKET * 0.85)))))
+
+    per_shard = []
     tables = []
-    planes_s, planes_c = [], []
-    rows_max = max_n
-    B = num_branches or 0
-    for keys, local_off, branches, scores in per_shard:
-        lens = np.diff(local_off)
-        if dense:
-            t = build_table(keys, np.arange(keys.shape[0], dtype=np.uint32),
-                            lens, min_buckets=nb_target)
-            bw = -(-B // 128) * 128  # aligned rows gather faster
-            ps = np.zeros((rows_max + 1, bw), np.float32)
-            rpp = np.repeat(np.arange(keys.shape[0]), lens)
-            # tiny NORMAL f32 (subnormals flush to zero on TPU)
-            sc = np.where(scores == 0.0, np.float32(-1e-37), scores)
-            ps[rpp, branches.astype(np.int64)] = sc
-            planes_s.append(ps)
-        else:
-            # payload = local k-mer row index (byte offsets via row_off gather)
-            t = build_table(keys, np.arange(keys.shape[0], dtype=np.uint32),
-                            lens, min_buckets=nb_target)
-        tables.append(t)
+    for s in range(n_model):
+        sel = shard_ids == s
+        keys = db.keys[sel]
+        lens = lens_all[sel]
+        local_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        branches = branches_sorted[post_starts[s] : post_starts[s + 1]]
+        scores = scores_sorted[post_starts[s] : post_starts[s + 1]]
+        per_shard.append((keys, local_off, branches, scores))
+        tables.append(
+            build_table(keys, np.arange(keys.shape[0], dtype=np.uint32), lens,
+                        min_buckets=nb_target)
+        )
+
     p_max = max(1, max(x[2].shape[0] for x in per_shard))
     rows_pad = max(len(x[1]) for x in per_shard)
     stack = lambda f: np.stack([f(i) for i in range(n_model)])
 
     def pack_postings(i):
         br, sc = per_shard[i][2], per_shard[i][3]
-        pp = np.stack([br.astype(np.uint32), sc.astype(np.float32).view(np.uint32)], axis=1)
+        pp = np.stack(
+            [br.astype(np.uint32), sc.astype(np.float32).view(np.uint32)], axis=1
+        )
         return np.pad(pp, ((0, p_max - pp.shape[0]), (0, 0)))
 
     return _ShardedDB(
@@ -151,12 +187,236 @@ def shard_db_by_hash(db: PhyloKmerDB, n_model: int, dense: bool = False,
         ),
         seeds=[(t.seed1, t.seed2) for t in tables],
         avg_plen=float(lens_all.mean()) if lens_all.size else 1.0,
-        plane_s=np.stack(planes_s) if dense else None,
     )
 
 
+# ---------------------------------------------------------------------------
+# sharded finish: correction + LWR + distributed top-k
+# ---------------------------------------------------------------------------
+
+
+def finish_scores_cols(S, C, m_f32, *, B, K, k, log_eps):
+    """Column-sharded correction + LWR + two-stage top-k.
+
+    ``S``/``C`` are (R, bwl) local branch-column slices (padded columns are
+    never touched -> corrected = -inf there).  Semantics match
+    engine/placer.py::finish_scores (reference: place.cpp:417-422,164-184);
+    collectives: per-read scalar ``psum``/``pmax`` for the LWR sum (quirk
+    Q4), then a K-candidate ``all_gather`` + re-top-k.  For tied scores the
+    candidate layout (shards in column order, each shard's candidates in
+    ascending local index) preserves the single-device lowest-index-first
+    tie-break of ``lax.top_k``.
+    """
+    f32 = jnp.float32
+    log_eps = f32(log_eps)
+    touched = C > 0
+
+    diff = m_f32[:, None] - C.astype(f32)
+    diff = jnp.where(diff < 0, f32(_U64), diff)  # quirk Q1 family
+    corrected = (S + diff * log_eps) / f32(k)
+    neg_inf = f32(-jnp.inf)
+    corrected = jnp.where(touched, corrected, neg_inf)
+
+    n = jax.lax.psum(jnp.sum(touched, axis=1).astype(jnp.int32), MODEL_AXIS)
+    npl_exp = m_f32 * log_eps / f32(k)
+    n_not = f32(B) - n.astype(f32)
+    max_c = jax.lax.pmax(jnp.max(corrected, axis=1), MODEL_AXIS)
+    max_t = jnp.maximum(max_c, jnp.where(n_not > 0, npl_exp, neg_inf))
+    ln10 = f32(math.log(10.0))
+    terms = jnp.where(touched, jnp.exp((corrected - max_t[:, None]) * ln10), 0.0)
+    sum10 = jax.lax.psum(jnp.sum(terms, axis=1), MODEL_AXIS) + n_not * jnp.exp(
+        jnp.where(n_not > 0, (npl_exp - max_t) * ln10, neg_inf)
+    )
+    log_sum = max_t + jnp.log(sum10) / ln10
+    zero_sum = (max_c < f32(_POW10_ZERO)) & (
+        (npl_exp < f32(_POW10_ZERO)) | (n_not <= 0)
+    )
+
+    R, bwl = S.shape
+    Kl = min(K, bwl)
+    s_l, i_l = jax.lax.top_k(corrected, Kl)
+    c_l = jnp.take_along_axis(C, i_l, axis=1)
+    col0 = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * jnp.int32(bwl)
+    i_g = i_l.astype(jnp.int32) + col0
+    cand_s = jax.lax.all_gather(s_l, MODEL_AXIS)  # (n_model, R, Kl)
+    cand_i = jax.lax.all_gather(i_g, MODEL_AXIS)
+    cand_c = jax.lax.all_gather(c_l, MODEL_AXIS)
+    nm = cand_s.shape[0]
+    cand_s = jnp.moveaxis(cand_s, 0, 1).reshape(R, nm * Kl)
+    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(R, nm * Kl)
+    cand_c = jnp.moveaxis(cand_c, 0, 1).reshape(R, nm * Kl)
+    topk_scores, sel = jax.lax.top_k(cand_s, K)
+    topk_idx = jnp.take_along_axis(cand_i, sel, axis=1)
+    topk_counts = jnp.take_along_axis(cand_c, sel, axis=1)
+    wr = jnp.exp((topk_scores - log_sum[:, None]) * ln10)
+    wr = jnp.where(zero_sum[:, None] | (topk_scores < f32(_POW10_ZERO)), 0.0, wr)
+    return topk_scores, topk_idx, topk_counts, wr, n, zero_sum
+
+
+# ---------------------------------------------------------------------------
+# device kernels (module-level jit: shared across placer instances)
+# ---------------------------------------------------------------------------
+
+
+def _amb_add(S, C, plane, arows, *, R, bwl, Amax, k, eps):
+    """Local ambiguous first-hit contribution (quirks Q6/Q7).
+
+    Column sharding makes this collective-free: each branch column is owned
+    by exactly one shard, and the shard sees the full replicated key stream.
+    """
+    first, sel_score = dense_amb_from_rows(plane, arows, R=R, B=bwl, Amax=Amax)
+    hit = first < _ORDER_INF
+    f32 = jnp.float32
+    pow10 = jnp.exp(sel_score * f32(math.log(10.0)))
+    V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
+    S = S + jnp.where(hit, V, 0.0)
+    C = C + hit.astype(jnp.int32)
+    return S, C
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "R", "B", "bwl", "K", "Amax", "k", "Lmax", "num_kmers",
+        "log_eps", "eps",
+    ),
+)
+def _sharded_dense_bytes_step(
+    plane_cols, direct, buf, arows, *,
+    mesh, R: int, B: int, bwl: int, K: int, Amax: int, k: int, Lmax: int,
+    num_kmers: int, log_eps: float, eps: float,
+):
+    """Column-sharded dense step with ON-DEVICE tokenization.
+
+    The host ships one packed uint8 buffer per batch (engine/placer.py::
+    pack_reads); tokenization + direct-table row resolution run redundantly
+    on every model shard (cheap VPU work) against the replicated buffer,
+    then each shard row-gathers only its own branch columns.
+    """
+
+    def block(plane, direct, buf, arows):
+        plane = plane[0]
+        rows, lens = device_tokenize_packed(
+            buf, direct, k=k, Lmax=Lmax, num_kmers=num_kmers
+        )
+        f32 = jnp.float32
+        m_signed = lens - jnp.int32(k - 1)
+        m_f32 = jnp.where(
+            m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+        )
+        W = rows.shape[1]
+        Wp = -(-W // 16) * 16  # chunked-gather width contract
+        rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=num_kmers)
+        S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wp)
+        if Amax > 0:
+            S, C = _amb_add(S, C, plane, arows, R=R, bwl=bwl, Amax=Amax, k=k, eps=eps)
+        outs = finish_scores_cols(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+        zero = jnp.int32(0)
+        return _pack_outputs(outs, zero, zero)[None]
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(plane_cols, direct, buf, arows)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "R", "B", "bwl", "K", "Wmax", "Amax", "k",
+                     "log_eps", "eps"),
+)
+def _sharded_dense_rows_step(
+    plane_cols, rows, arows, m_f32, *,
+    mesh, R: int, B: int, bwl: int, K: int, Wmax: int, Amax: int, k: int,
+    log_eps: float, eps: float,
+):
+    """Column-sharded dense step with HOST-side key->row lookup (any
+    alphabet / k; the sharded analog of placer.py::_place_batch_dense_rows)."""
+
+    def block(plane, rows, arows, m):
+        plane = plane[0]
+        S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wmax)
+        if Amax > 0:
+            S, C = _amb_add(S, C, plane, arows, R=R, bwl=bwl, Amax=Amax, k=k, eps=eps)
+        outs = finish_scores_cols(S, C, m, B=B, K=K, k=k, log_eps=log_eps)
+        zero = jnp.int32(0)
+        return _pack_outputs(outs, zero, zero)[None]
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(plane_cols, rows, arows, m_f32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "R", "B", "K", "Pb", "PAb", "k", "log_eps", "eps"),
+)
+def _sharded_csr_step(
+    seed1, seed2, t_packed, db_post, row_off,
+    e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32, *,
+    mesh, R: int, B: int, K: int, Pb: int, PAb: int, k: int,
+    log_eps: float, eps: float,
+):
+    """Hash-sharded CSR step (big-DB mode): per-shard posting scatter-adds
+    merged with psum over the model axis; ambiguous first-hit merged with
+    pmin + owner-masked psum (each key lives on exactly one shard)."""
+
+    def block(seed1, seed2, t_packed, db_post, row_off,
+              e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m):
+        table = t_packed[0]
+        s1 = seed1[0, 0]
+        s2 = seed2[0, 0]
+        S, C, e_total = accumulate_exact(
+            table, db_post[0], row_off[0], e_hi[0], e_lo[0], e_read[0],
+            R=R, B=B, P=Pb, seed1=s1, seed2=s2,
+        )
+        first, V, a_total = accumulate_amb_firsthit(
+            table, db_post[0], row_off[0], a_hi[0], a_lo[0], a_read[0], a_order[0],
+            R=R, B=B, PA=PAb, k=k, seed1=s1, seed2=s2, eps=eps,
+        )
+        S = jax.lax.psum(S, MODEL_AXIS)
+        C = jax.lax.psum(C, MODEL_AXIS)
+        first_g = jax.lax.pmin(first, MODEL_AXIS)
+        hit = first_g < _ORDER_INF
+        owner = (first == first_g) & hit
+        V_g = jax.lax.psum(jnp.where(owner, V, 0.0), MODEL_AXIS)
+        S = S + jnp.where(hit, V_g, 0.0)
+        C = C + hit.astype(jnp.int32)
+        outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=log_eps)
+        e_tot = jax.lax.pmax(e_total, MODEL_AXIS)
+        a_tot = jax.lax.pmax(a_total, MODEL_AXIS)
+        return _pack_outputs(outs, e_tot, a_tot)[None]
+
+    spec_model = P(MODEL_AXIS)
+    spec_data = P(DATA_AXIS)
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(spec_model,) * 5 + (spec_data,) * 8,
+        out_specs=spec_data,
+        check_vma=False,
+    )(
+        seed1[:, None], seed2[:, None], t_packed, db_post, row_off,
+        e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the placer
+# ---------------------------------------------------------------------------
+
+
 class ShardedJaxPlacer:
-    """Multi-device placer: same ``place(records)`` surface as JaxPlacer."""
+    """Multi-device placer: same ``place``/``place_async``/``place_wait``
+    surface as JaxPlacer, so the in-flight batch pipeline
+    (engine/pipeline.py) drives both identically."""
 
     def __init__(
         self,
@@ -188,315 +448,277 @@ class ShardedJaxPlacer:
         mean = np.where(num > 1, tot / np.maximum(num, 1), 0.0)
         self.pendant = mean + self.distal
 
-        plane_bytes = (db.num_kmers + self.n_model) * self.B * 4
-        cfgd = self.config.dense_db
+        cfg = self.config
+        bwl = -(-self.B // (128 * self.n_model)) * 128
+        # per-DEVICE plane bytes decide fit: column sharding divides the
+        # plane by n_model, which is what lets big trees go dense
+        plane_bytes = (db.num_kmers + 1) * bwl * 4
+        cfgd = cfg.dense_db
         self._dense_db = cfgd == "on" or (
             cfgd == "auto"
-            and self.config.accumulate == "auto"
-            and plane_bytes <= self.config.dense_db_budget
+            and cfg.accumulate == "auto"
+            and plane_bytes <= cfg.dense_db_budget
         )
         backend = jax.default_backend()
-        # "auto" resolves to the chunked XLA gather -- measured faster than
-        # the Pallas DMA kernel on v5e (see PlacerConfig.dense_gather)
-        self._pallas_rows = self._dense_db and self.config.dense_gather == "pallas"
         self._interpret = backend != "tpu"
-        sdb = shard_db_by_hash(db, self.n_model, dense=self._dense_db,
-                               num_branches=self.B)
-        self._sdb = sdb
-        # device-resident once: re-converting per place() would re-upload the
-        # whole database every batch
-        self._dev_packed = jnp.asarray(sdb.packed)
-        self._dev_postings = jnp.asarray(sdb.postings)
-        self._dev_row_off = jnp.asarray(sdb.row_off)
-        self._dev_plane_s = jnp.asarray(sdb.plane_s) if sdb.plane_s is not None else None
-        # per-shard seeds must be identical for a traced kernel; rebuild with a
-        # common seed pair would be ideal, but seeds are static args instead:
-        # we pass stacked seed arrays through the mesh.
-        self._seed1 = np.array([s[0] for s in sdb.seeds], dtype=np.uint32)
-        self._seed2 = np.array([s[1] for s in sdb.seeds], dtype=np.uint32)
 
-    # -- device kernel ---------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnames=("self", "R", "K", "Pb", "PAb"))
-    def _sharded_kernel(self, seed1, seed2, t_packed, db_post, row_off,
-                        e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
-                        R: int, K: int, Pb: int, PAb: int):
-        B, k = self.B, self.k
-        mesh = self.mesh
-
-        def block(seed1, seed2, t_packed, db_post, row_off,
-                  e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m):
-            table = t_packed[0]
-            s1 = seed1[0, 0]
-            s2 = seed2[0, 0]
-            S, C, e_total = accumulate_exact(
-                table, db_post[0], row_off[0], e_hi[0], e_lo[0], e_read[0],
-                R=R, B=B, P=Pb, seed1=s1, seed2=s2,
+        if self._dense_db:
+            planes, self._bwl = shard_db_columns(db, self.n_model, self.B)
+            self._plane_cols = jax.device_put(
+                planes, NamedSharding(mesh, P(MODEL_AXIS))
             )
-            first, V, a_total = accumulate_amb_firsthit(
-                table, db_post[0], row_off[0], a_hi[0], a_lo[0], a_read[0], a_order[0],
-                R=R, B=B, PA=PAb, k=k, seed1=s1, seed2=s2, eps=self.eps,
+            self._fast_bytes = (
+                cfg.tokenize_where in ("auto", "device")
+                and self.alphabet.sigma == 4
+                and self.k <= 13
             )
-            # merge partial matrices over the model axis (ICI collectives)
-            S = jax.lax.psum(S, MODEL_AXIS)
-            C = jax.lax.psum(C, MODEL_AXIS)
-            first_g = jax.lax.pmin(first, MODEL_AXIS)
-            hit = first_g < _ORDER_INF
-            owner = (first == first_g) & hit
-            V_g = jax.lax.psum(jnp.where(owner, V, 0.0), MODEL_AXIS)
-            S = S + jnp.where(hit, V_g, 0.0)
-            C = C + hit.astype(jnp.int32)
-            outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=self.log_eps)
-            e_tot = jax.lax.pmax(e_total, MODEL_AXIS)
-            a_tot = jax.lax.pmax(a_total, MODEL_AXIS)
-            return _pack_outputs(outs, e_tot, a_tot)[None]
+            self._dev_direct = None
+            if self._fast_bytes:
+                direct = np.full(4**self.k, db.num_kmers, dtype=np.int32)
+                direct[db.keys.astype(np.int64)] = np.arange(
+                    db.num_kmers, dtype=np.int32
+                )
+                self._dev_direct = jax.device_put(direct, NamedSharding(mesh, P()))
+            self._sdb = None
+        else:
+            self._fast_bytes = False
+            sdb = shard_db_by_hash(db, self.n_model)
+            self._sdb = sdb
+            spec_m = NamedSharding(mesh, P(MODEL_AXIS))
+            self._dev_packed = jax.device_put(sdb.packed, spec_m)
+            self._dev_postings = jax.device_put(sdb.postings, spec_m)
+            self._dev_row_off = jax.device_put(sdb.row_off, spec_m)
+            self._seed1 = np.array([s[0] for s in sdb.seeds], dtype=np.uint32)
+            self._seed2 = np.array([s[1] for s in sdb.seeds], dtype=np.uint32)
 
-        spec_model = P(MODEL_AXIS)
-        spec_data = P(DATA_AXIS)
-        out = jax.shard_map(
-            block,
-            mesh=mesh,
-            in_specs=(spec_model,) * 5 + (spec_data,) * 8,
-            out_specs=spec_data,
-            check_vma=False,
-        )(
-            seed1[:, None], seed2[:, None], t_packed, db_post, row_off,
-            e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
-        )
-        return out
+    # -- host staging helpers ----------------------------------------------
 
-    @functools.partial(
-        jax.jit, static_argnames=("self", "R", "K", "Wmax", "Amax")
-    )
-    def _sharded_kernel_dense(self, seed1, seed2, t_packed, plane_s,
-                              e_hi, e_lo, a_hi, a_lo, m_f32,
-                              R: int, K: int, Wmax: int, Amax: int):
-        """Dense-plane sharded step: per-shard row-gather sums merged with
-        psum; ambiguous first-hit merged with pmin + owner-masked psum."""
-        from ..engine.placer import dense_amb_firsthit, dense_exact_sums
+    def _host_rows(self, keys: np.ndarray) -> np.ndarray:
+        """keys -> dense plane row indices (binary search over the sorted
+        key array; misses map to the all-zero last row)."""
+        dbk = self.db.keys
+        n = dbk.shape[0]
+        if keys.size == 0:
+            return np.empty(0, np.int32)
+        idx = np.searchsorted(dbk, keys)
+        idx_c = np.minimum(idx, n - 1)
+        return np.where(dbk[idx_c] == keys, idx_c, n).astype(np.int32)
 
-        B, k = self.B, self.k
-        mesh = self.mesh
-        eps = self.eps
-        log_eps = self.log_eps
+    def _rows_matrix(self, keys, read, R: int, width: int):
+        zero_row = self.db.keys.shape[0]
+        M = np.full((R, width), zero_row, dtype=np.int32)
+        if keys.size:
+            rows = self._host_rows(keys)
+            counts = np.bincount(read, minlength=R)
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            cols = np.arange(keys.shape[0]) - starts[read]
+            M[read, cols] = rows
+        return M
 
-        def block(seed1, seed2, t_packed, plane_s,
-                  e_hi, e_lo, a_hi, a_lo, m):
-            table = t_packed[0]
-            s1 = seed1[0, 0]
-            s2 = seed2[0, 0]
-            S, C = dense_exact_sums(
-                table, plane_s[0], e_hi[0], e_lo[0],
-                R=R, B=B, Wmax=Wmax, seed1=s1, seed2=s2,
-                pallas_rows=self._pallas_rows, interpret=self._interpret,
-            )
-            first, sel = dense_amb_firsthit(
-                table, plane_s[0], a_hi[0], a_lo[0],
-                R=R, B=B, Amax=Amax, seed1=s1, seed2=s2,
-            )
-            S = jax.lax.psum(S, MODEL_AXIS)
-            C = jax.lax.psum(C, MODEL_AXIS)
-            first_g = jax.lax.pmin(first, MODEL_AXIS)
-            hit = first_g < _ORDER_INF
-            owner = (first == first_g) & hit
-            f32 = jnp.float32
-            pow10 = jnp.exp(sel * f32(math.log(10.0)))
-            V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
-            V_g = jax.lax.psum(jnp.where(owner, V, 0.0), MODEL_AXIS)
-            S = S + jnp.where(hit, V_g, 0.0)
-            C = C + hit.astype(jnp.int32)
-            outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=log_eps)
-            zero = jnp.int32(0)
-            return _pack_outputs(outs, zero, zero)[None]
+    def _padded_batch_geometry(self, R_true: int) -> int:
+        """Per-data-shard read count, bucketed to bound the jit cache."""
+        per = -(-R_true // self.n_data)
+        gran = 256 if R_true > 2048 else 64
+        return -(-per // gran) * gran
 
-        spec_model = P(MODEL_AXIS)
-        spec_data = P(DATA_AXIS)
-        return jax.shard_map(
-            block,
-            mesh=mesh,
-            in_specs=(spec_model,) * 4 + (spec_data,) * 5,
-            out_specs=spec_data,
-            check_vma=False,
-        )(
-            seed1[:, None], seed2[:, None], t_packed, plane_s,
-            e_hi, e_lo, a_hi, a_lo, m_f32,
-        )
-
-    # -- host orchestration ----------------------------------------------------
+    # -- placement surface ---------------------------------------------------
 
     def place(self, records: list[tuple[str, bytes]]) -> PlacedCollection:
+        """Synchronous place (reference surface: place.cpp:201)."""
+        return self.place_wait(self.place_async(records))
+
+    def place_async(self, records: list[tuple[str, bytes]]):
+        """Tokenize + dispatch WITHOUT blocking on device results."""
         cfg = self.config
         sequence_map: dict[bytes, list[str]] = {}
         for header, seq in records:
             sequence_map.setdefault(seq, []).append(header)
         seqs = list(sequence_map.keys())
         if not seqs:
-            return PlacedCollection(sequence_map={}, placed_seqs=[])
-
-        nd = self.n_data
-        R = max(1, -(-len(seqs) // nd))  # reads per data shard
-        groups = [seqs[i * R : (i + 1) * R] for i in range(nd)]
-        toks = [tokenize_batch(g, self.k, self.alphabet) for g in groups]
+            return _Pending(sequence_map, [], None, None, None, None)
 
         if self._dense_db:
-            from ..engine.placer import JaxPlacer as _JP
+            return self._place_async_dense(sequence_map, seqs)
+        return self._place_async_csr(sequence_map, seqs)
 
-            wpr = max(
-                (int(np.bincount(t.exact_read, minlength=R).max()) if t.exact_read.size else 1)
-                for t in toks
+    # -- dense (column-sharded) dispatch --------------------------------------
+
+    def _place_async_dense(self, sequence_map, seqs):
+        cfg = self.config
+        R_true = len(seqs)
+        R_loc = self._padded_batch_geometry(R_true)
+        R_tot = self.n_data * R_loc
+        K = min(cfg.keep_at_most, self.B)
+
+        lens_arr = np.fromiter((len(s) for s in seqs), np.int64, count=R_true)
+        m_signed = lens_arr - self.k + 1  # host copy for assembly (quirk Q1)
+        Lmax_true = int(lens_arr.max())
+
+        if self._fast_bytes and self.k <= Lmax_true <= 0xFFFF:
+            Lmax = -(-Lmax_true // 8) * 8
+            flat = np.frombuffer(b"".join(seqs), np.uint8)
+            starts = np.concatenate([[0], np.cumsum(lens_arr)])
+            mat = np.zeros((R_tot, Lmax), np.uint8)
+            mat[np.repeat(np.arange(R_true), lens_arr),
+                np.arange(flat.size) - np.repeat(starts[:-1], lens_arr)] = flat
+            lens_pad = np.zeros(R_tot, np.int64)
+            lens_pad[:R_true] = lens_arr
+
+            codes = self.alphabet.char_code[mat]
+            amb_mask = ((codes >= 0x80) & (codes != 0xFF)).any(axis=1)
+            if amb_mask.any():
+                idxs = np.flatnonzero(amb_mask)
+                tok = tokenize_batch([seqs[i] for i in idxs], self.k, self.alphabet)
+                a_keys = tok.amb_keys
+                a_read = idxs[tok.amb_read] if a_keys.size else tok.amb_read
+                apr = int(np.bincount(a_read, minlength=R_tot).max()) if a_keys.size else 0
+                Amax = _bucket(apr, 8) if a_keys.size else 0
+                arows = self._rows_matrix(a_keys, a_read, R_tot, Amax)
+            else:
+                Amax = 0
+                arows = np.zeros((R_tot, 0), np.int32)
+
+            buf = pack_reads(codes, lens_pad)
+            out = _sharded_dense_bytes_step(
+                self._plane_cols, self._dev_direct, buf, arows,
+                mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
+                Amax=Amax, k=self.k, Lmax=Lmax, num_kmers=self.db.num_kmers,
+                log_eps=float(self.log_eps), eps=float(self.eps),
             )
-            apr = max(
-                (int(np.bincount(t.amb_read, minlength=R).max()) if t.amb_read.size else 1)
-                for t in toks
-            )
-            Wmax = _bucket(wpr, 8)
-            Amax = _bucket(apr, 8)
-            K = min(cfg.keep_at_most, self.B)
-            mats = [
-                _JP._key_matrix(t.exact_keys, t.exact_read, R, Wmax)
-                + _JP._key_matrix(t.amb_keys, t.amb_read, R, Amax)
-                for t in toks
-            ]
-            stackm = lambda i: np.stack([m[i] for m in mats])
-            m_stack = []
-            for t in toks:
-                m_signed_g = t.seq_lengths - self.k + 1
-                m_f32 = np.where(
-                    m_signed_g >= 0,
-                    m_signed_g.astype(np.float32),
-                    np.float32(float(_U64)) + m_signed_g.astype(np.float32),
-                ).astype(np.float32)
-                m_pad = np.zeros(R, np.float32)
-                m_pad[: m_f32.shape[0]] = m_f32
-                m_stack.append(m_pad)
-            out = self._sharded_kernel_dense(
-                jnp.asarray(self._seed1), jnp.asarray(self._seed2),
-                self._dev_packed, self._dev_plane_s,
-                stackm(0), stackm(1), stackm(2), stackm(3),
-                np.stack(m_stack),
-                R=R, K=K, Wmax=Wmax, Amax=Amax,
-            )
-            stacked = np.asarray(out)  # (n_data, R+1, 4K+2) -- one transfer
-            per_g = [unpack_outputs(stacked[g], K) for g in range(self.n_data)]
-            scores_k = np.stack([u[0] for u in per_g])
-            idx_k = np.stack([u[1] for u in per_g])
-            counts_k = np.stack([u[2] for u in per_g])
-            wr_k = np.stack([u[3] for u in per_g])
-            n_touched = np.stack([u[4] for u in per_g])
-            zero_sum = np.stack([u[5] for u in per_g])
-            return self._assemble_groups(
-                groups, toks, scores_k, idx_k, counts_k, wr_k, n_touched,
-                zero_sum, K, sequence_map,
-            )
+            return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
+
+        # host tokenize + host lookup (any alphabet / k; also len<k batches)
+        tokens = tokenize_batch(seqs, self.k, self.alphabet)
+        wpr = int(np.bincount(tokens.exact_read, minlength=R_tot).max()) if tokens.exact_read.size else 1
+        apr = int(np.bincount(tokens.amb_read, minlength=R_tot).max()) if tokens.amb_read.size else 1
+        Wmax = max(16, -(-wpr // 16) * 16)
+        Amax = _bucket(apr, 8) if tokens.amb_keys.size else 0
+        rows = self._rows_matrix(tokens.exact_keys, tokens.exact_read, R_tot, Wmax)
+        arows = self._rows_matrix(tokens.amb_keys, tokens.amb_read, R_tot, Amax)
+        m_f32 = np.where(
+            m_signed >= 0,
+            m_signed.astype(np.float32),
+            np.float32(float(_U64)) + m_signed.astype(np.float32),
+        ).astype(np.float32)
+        m_pad = np.zeros(R_tot, np.float32)
+        m_pad[:R_true] = m_f32
+        out = _sharded_dense_rows_step(
+            self._plane_cols, rows, arows, m_pad,
+            mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
+            Wmax=Wmax, Amax=Amax, k=self.k,
+            log_eps=float(self.log_eps), eps=float(self.eps),
+        )
+        return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
+
+    # -- CSR (hash-sharded) dispatch -------------------------------------------
+
+    def _place_async_csr(self, sequence_map, seqs):
+        cfg = self.config
+        R_true = len(seqs)
+        R_loc = self._padded_batch_geometry(R_true)
+        R_tot = self.n_data * R_loc
+        K = min(cfg.keep_at_most, self.B)
+        nd = self.n_data
+
+        groups = [seqs[g * R_loc : (g + 1) * R_loc] for g in range(nd)]
+        toks = [tokenize_batch(g, self.k, self.alphabet) for g in groups]
+        m_signed = np.concatenate(
+            [t.seq_lengths - self.k + 1 for t in toks]
+        ) if any(t.seq_lengths.size for t in toks) else np.empty(0, np.int64)
 
         E = _bucket(max(t.exact_keys.shape[0] for t in toks), cfg.min_bucket)
         A = _bucket(max(t.amb_keys.shape[0] for t in toks), cfg.min_bucket)
         est = max(1, int(self._sdb.avg_plen * cfg.budget_headroom))
         # each model shard owns ~1/n_model of the postings
-        P_budget = _bucket(max(1, E * est // max(1, self.n_model)), cfg.min_bucket)
-        PA_budget = _bucket(max(1, A * est // max(1, self.n_model)), cfg.min_bucket)
-        K = min(cfg.keep_at_most, self.B)
+        Pb = _bucket(max(1, E * est // max(1, self.n_model)), cfg.min_bucket)
+        PAb = _bucket(max(1, A * est // max(1, self.n_model)), cfg.min_bucket)
 
         def pad_group(t):
             e_hi, e_lo = _pad_split(t.exact_keys, E)
             a_hi, a_lo = _pad_split(t.amb_keys, A)
-            m_signed = t.seq_lengths - self.k + 1
+            ms = t.seq_lengths - self.k + 1
             m_f32 = np.where(
-                m_signed >= 0,
-                m_signed.astype(np.float32),
-                np.float32(float(_U64)) + m_signed.astype(np.float32),
+                ms >= 0,
+                ms.astype(np.float32),
+                np.float32(float(_U64)) + ms.astype(np.float32),
             ).astype(np.float32)
-            m_pad = np.zeros(R, np.float32)
+            m_pad = np.zeros(R_loc, np.float32)
             m_pad[: m_f32.shape[0]] = m_f32
             return (
-                e_hi, e_lo, _pad_i32(t.exact_read, E, R),
-                a_hi, a_lo, _pad_i32(t.amb_read, A, R),
+                e_hi, e_lo, _pad_i32(t.exact_read, E, R_loc),
+                a_hi, a_lo, _pad_i32(t.amb_read, A, R_loc),
                 _pad_i32(t.amb_order, A, _ORDER_INF), m_pad,
             )
 
         padded = [pad_group(t) for t in toks]
-        stack = lambda i: np.stack([p[i] for p in padded])
-        sdb = self._sdb
-
-        while True:
-            out = self._sharded_kernel(
-                jnp.asarray(self._seed1), jnp.asarray(self._seed2),
-                self._dev_packed,
-                self._dev_postings, self._dev_row_off,
-                stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
-                stack(6), stack(7),
-                R=R, K=K, Pb=P_budget, PAb=PA_budget,
-            )
-            stacked = np.asarray(out)  # (n_data, R+1, 4K+2) -- one transfer
-            per_g = [unpack_outputs(stacked[g], K) for g in range(self.n_data)]
-            scores_k = np.stack([u[0] for u in per_g])
-            idx_k = np.stack([u[1] for u in per_g])
-            counts_k = np.stack([u[2] for u in per_g])
-            wr_k = np.stack([u[3] for u in per_g])
-            n_touched = np.stack([u[4] for u in per_g])
-            zero_sum = np.stack([u[5] for u in per_g])
-            e_tot = max(u[6] for u in per_g)
-            a_tot = max(u[7] for u in per_g)
-            if e_tot <= P_budget and a_tot <= PA_budget:
-                break
-            if e_tot > P_budget:
-                P_budget = _bucket(int(e_tot), cfg.min_bucket)
-            if a_tot > PA_budget:
-                PA_budget = _bucket(int(a_tot), cfg.min_bucket)
-
-        return self._assemble_groups(
-            groups, toks, scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum,
-            K, sequence_map,
+        stacked = tuple(np.stack([p[i] for p in padded]) for i in range(8))
+        inputs = (
+            jnp.asarray(self._seed1), jnp.asarray(self._seed2),
+            self._dev_packed, self._dev_postings, self._dev_row_off,
+        ) + stacked
+        out = _sharded_csr_step(
+            *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K, Pb=Pb, PAb=PAb,
+            k=self.k, log_eps=float(self.log_eps), eps=float(self.eps),
+        )
+        return _Pending(
+            sequence_map, seqs, m_signed, out, (Pb, PAb), (inputs, R_true, K)
         )
 
-    def _assemble_groups(self, groups, toks, scores_k, idx_k, counts_k, wr_k,
-                         n_touched, zero_sum, K, sequence_map) -> PlacedCollection:
-        """Flatten per-data-shard outputs back to read order + jplace rows."""
-        cfg = self.config
-        placed_seqs: list[PlacedSequence] = []
-        for g, group in enumerate(groups):
-            t = toks[g]
-            m_signed = t.seq_lengths - self.k + 1
-            for i, seq in enumerate(group):
-                n = int(n_touched[g, i])
-                keep_factor = cfg.keep_factor
-                if n == 0:
-                    placements, sum_is_zero = self._fallback(int(m_signed[i]) % _U64)
-                    if sum_is_zero:
-                        keep_factor = 0.0
-                else:
-                    placements = []
-                    for j in range(min(n, K)):
-                        e = int(idx_k[g, i, j])
-                        placements.append(
-                            Placement(
-                                branch_id=e,
-                                score=float(scores_k[g, i, j]),
-                                weight_ratio=float(wr_k[g, i, j]),
-                                count=int(counts_k[g, i, j]),
-                                distal_length=float(self.distal[e]),
-                                pendant_length=float(self.pendant[e]),
-                            )
-                        )
-                    if zero_sum[g, i]:
-                        keep_factor = 0.0
-                best = placements[0].weight_ratio if placements else 0.0
-                threshold = best * keep_factor
-                placements = [p for p in placements if p.weight_ratio >= threshold]
-                placed_seqs.append(PlacedSequence(sequence=seq, placements=placements))
-        return PlacedCollection(sequence_map=sequence_map, placed_seqs=placed_seqs)
+    # -- wait + assembly ---------------------------------------------------------
 
-    def _fallback(self, m_wrapped: int):
-        k = self.k
-        ts = float(np.float32(self.log_eps * np.float32(float(m_wrapped)) / np.float32(k)))
-        exponent = float(np.float32(np.float32(float(m_wrapped)) * self.log_eps / np.float32(k)))
-        score_sum = float(self.B) * 10.0**exponent
-        out = []
-        for i in range(self.config.keep_at_most):
-            power = 10.0**ts
-            wr = 0.0 if (score_sum == 0.0 or power == 0.0) else power / score_sum
-            out.append(Placement(i, ts, wr, 0, 0.0, 0.0))
-        return out, score_sum == 0.0
+    def place_wait(self, pending: _Pending) -> PlacedCollection:
+        if pending.out is None:
+            return PlacedCollection(sequence_map=pending.sequence_map, placed_seqs=[])
+        cfg = self.config
+        inputs, R_true, K = pending.redo
+        R_loc = self._padded_batch_geometry(R_true)
+
+        if pending.budgets is None:  # dense mode: no overflow retries
+            arr = np.asarray(pending.out)  # (n_data, R_loc+1, 4K+2): one transfer
+            flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
+            return self._assemble_flat(pending, flat, K)
+
+        Pb, PAb = pending.budgets
+        out = pending.out
+        while True:
+            arr = np.asarray(out)
+            totals = arr[:, -1, :]
+            e_tot = max(
+                (int(t[0]) << 20) + int(t[1]) for t in totals
+            )
+            a_tot = max(
+                (int(t[2]) << 20) + int(t[3]) for t in totals
+            )
+            if e_tot <= Pb and a_tot <= PAb:
+                break
+            # budget overflow: grow the static bucket and re-dispatch the
+            # SAME already-stacked host arrays (no restaging)
+            Pb = _bucket(int(e_tot), cfg.min_bucket) if e_tot > Pb else Pb
+            PAb = _bucket(int(a_tot), cfg.min_bucket) if a_tot > PAb else PAb
+            out = _sharded_csr_step(
+                *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K, Pb=Pb,
+                PAb=PAb, k=self.k, log_eps=float(self.log_eps),
+                eps=float(self.eps),
+            )
+        flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
+        return self._assemble_flat(pending, flat, K)
+
+    def _assemble_flat(self, pending, body: np.ndarray, K: int):
+        """Array-backed jplace rows from the flattened (R_true, 4K+2) body
+        (shared vectorized assembly: engine/placer.py::assemble_arrays)."""
+        scores_k = body[:, 0:K]
+        wr_k = body[:, K : 2 * K].astype(np.float64)
+        idx_k = body[:, 2 * K : 3 * K].astype(np.int32)
+        counts_k = body[:, 3 * K : 4 * K].astype(np.int64)
+        n_touched = body[:, 4 * K].astype(np.int32)
+        zero_sum = body[:, 4 * K + 1] != 0
+        return assemble_arrays(
+            pending.seqs, pending.sequence_map, pending.m_signed,
+            scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K,
+            distal=self.distal, pendant=self.pendant, log_eps=self.log_eps,
+            k=self.k, B=self.B, keep_at_most=self.config.keep_at_most,
+            keep_factor=self.config.keep_factor,
+        )
 
 
 def _pad_split(keys: np.ndarray, size: int):
