@@ -1,0 +1,117 @@
+"""One-shot on-chip parity verification (driver-reproducible).
+
+Runs the built-in ppdiff differential cases (tools/ppdiff.py) plus a
+300-read mixed-workload jplace_diff against the scalar oracle on the live
+backend (the real TPU chip when attached, CPU otherwise) and prints exactly
+ONE JSON line:
+
+    {"verify": "tpu", "backend": ..., "cases_passed": N, "cases_total": N,
+     "reads_matched": M, "reads_total": T, "ok": bool}
+
+This makes the TPU parity claim reproducible by the driver: the MXU's f32
+accumulation rounds differently from strict sequential addition, so this is
+the regression gate for the documented near-tie divergence (docs/QUIRKS.md;
+acceptance criterion = the reference's own semantic diff, ε=1e-4 in
+probability space, reference: scripts/jplace_diff.py:21,222).
+
+Usage: python -m epik_tpu.tools.verify_tpu [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+
+
+def _mixed_case_reads(db, n=300):
+    """Mixed workload: db-derived reads, mutations, ambiguity, quirk cases."""
+    import numpy as np
+
+    from ..core.alphabet import get_alphabet
+    from ..io.build import random_reads
+
+    alphabet = get_alphabet(db.sequence_type)
+    rng = np.random.default_rng(99)
+    reads = []
+    for i in range(n - 20):
+        parts = [
+            alphabet.decode_key(int(db.keys[rng.integers(db.num_kmers)]), db.kmer_size)
+            for _ in range(int(rng.integers(2, 16)))
+        ]
+        reads.append((f"q{i}", "".join(parts).encode()))
+    reads += random_reads(10, length=80, seed=101, ambig_rate=0.1)
+    # quirk cases: short reads (Q1), duplicates (Q8), no-hit (Q2/Q3)
+    reads += [("short_a", b"AC"), ("short_b", b"A"),
+              ("dup_1", b"ACGTACGTACGTACGT"), ("dup_2", b"ACGTACGTACGTACGT"),
+              ("nohit", b"T" * 40)]
+    return reads
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="on-chip parity verification")
+    ap.add_argument("--workdir", default="/tmp/epik_tpu_verify")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..core.tree import parse_newick, to_newick
+    from ..engine.placer import JaxPlacer
+    from ..engine.reference import ReferencePlacer
+    from ..io.build import random_db
+    from ..io.jplace import jplace_writer
+    from .jplace_diff import jplace_diff
+    from .ppdiff import DEFAULT_CONFIG, run_case
+
+    backend = jax.default_backend()
+    n_dev = len(jax.devices())
+    os.makedirs(args.workdir, exist_ok=True)
+
+    # --- built-in ppdiff cases (mesh shrunk to the available devices) --------
+    cases_passed = 0
+    cases = copy.deepcopy(DEFAULT_CONFIG["cases"])
+    for case in cases:
+        mesh = case.get("mesh")
+        if mesh and mesh.get("n_data", 1) * mesh.get("n_model", 1) > n_dev:
+            case["mesh"] = {"n_data": 1, "n_model": 1}
+        clean, msg = run_case(case, args.workdir)
+        print(("PASS " if clean else "FAIL ") + msg, file=sys.stderr)
+        cases_passed += int(clean)
+
+    # --- 300-read mixed case vs the scalar oracle ----------------------------
+    db = random_db(num_leaves=128, kmer_size=8, num_kmers=30000, seed=77)
+    tree = parse_newick(db.tree())
+    reads = _mixed_case_reads(db)
+    nwk = to_newick(tree, jplace_edges=True)
+    paths = []
+    for name, engine in (
+        ("oracle", ReferencePlacer(db, tree)),
+        ("jax", JaxPlacer(db, tree)),
+    ):
+        out = engine.place(reads)
+        path = os.path.join(args.workdir, f"mixed_{name}.jplace")
+        w = jplace_writer(path, f"verify_tpu mixed {name} ", nwk)
+        w.start()
+        w << out
+        w.end()
+        paths.append(path)
+    res = jplace_diff(paths[0], paths[1])
+    print(f"mixed: {res.num_matches}/{res.num_seqs} match", file=sys.stderr)
+
+    ok = cases_passed == len(cases) and res.clean
+    print(json.dumps({
+        "verify": "tpu",
+        "backend": backend,
+        "cases_passed": cases_passed,
+        "cases_total": len(cases),
+        "reads_matched": res.num_matches,
+        "reads_total": res.num_seqs,
+        "ok": ok,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
