@@ -50,11 +50,23 @@ class BinaryArchiveReader:
     where strings serialize as ``std::size_t`` length + raw bytes and the
     library version serializes as a 16-bit integer (``library_version_type``
     since Boost 1.44; 8-bit before 1.26 is not supported here).
+
+    ``size_width`` is the width of ``std::size_t`` in the *writing* build:
+    8 on 64-bit systems (the normal case) and 4 on 32-bit builds.  It is
+    auto-detected from the signature's own length prefix (the value 22 as a
+    u32 vs u64) so archives from either build read correctly.
     """
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, size_width: int | None = None):
         self.data = data
         self.pos = 0
+        if size_width is None:
+            size_width = 8
+            if data[:4] == struct.pack("<I", len(_SIGNATURE)) and (
+                data[4 : 4 + len(_SIGNATURE)] == _SIGNATURE
+            ):
+                size_width = 4
+        self.size_width = size_width
 
     def _take(self, n: int) -> bytes:
         if self.pos + n > len(self.data):
@@ -87,7 +99,7 @@ class BinaryArchiveReader:
         return struct.unpack("<d", self._take(8))[0]
 
     def size_t(self) -> int:
-        return self.u64()
+        return self.u32() if self.size_width == 4 else self.u64()
 
     def string(self) -> bytes:
         n = self.size_t()
