@@ -316,6 +316,20 @@ def diff(jplace1, jplace2, only_best):
 
 
 @epik.command()
+@click.argument("database", type=click.Path(exists=True))
+def probe(database):
+    """Diagnose an .ipk file's layout (field-by-field walk + hexdumps).
+
+    The recovery tool for UnverifiedFormatError: prints every field of the
+    reconstructed layout with its byte offset under both 64- and 32-bit
+    size_t conventions, the failure site, and landmark scans (see
+    io/ipk_boost.py::probe_ipk)."""
+    from ..io.ipk_boost import probe_ipk
+
+    click.echo(probe_ipk(database))
+
+
+@epik.command()
 @click.argument("src", type=click.Path(exists=True))
 @click.argument("dst", type=click.Path())
 def convert(src, dst):

@@ -223,48 +223,40 @@ def _expand_ragged(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.cumsum(delta + 1) - 1
 
 
-def load(
-    path: str | os.PathLike,
+def build_filtered(
+    *,
+    sequence_type: str,
+    kmer_size: int,
+    stored_omega: float,
+    tree_newick: str,
+    version: int,
+    keys_f: np.ndarray,
+    lens_f: np.ndarray,
+    branches_f: np.ndarray,
+    scores_f: np.ndarray,
     mu: float = 1.0,
     user_omega: float | None = None,
     max_entries: int | None = None,
+    positions: bool = False,
 ) -> PhyloKmerDB:
-    """Load a ``.eptk`` database with load-time filtering.
+    """Load-time filtering + CSR build from file-order flat arrays.
 
-    Mirrors ``i2l::load(db_file, mu, omega, max_entries)``
-    (reference: main.cpp:277):
+    The shared back half of ``i2l::load`` (reference: main.cpp:277) used by
+    both the ``.eptk`` loader and the reconstructed ``.ipk`` reader: inputs
+    are k-mer rows **in storage order** (filter order: most informative
+    first [inference]) as ``keys_f``/``lens_f`` plus their concatenated
+    postings.
 
-    * keep the filter-order prefix of k-mers whose cumulative posting count
-      stays within ``ceil(mu * total)`` and ``max_entries``;
+    * keep the storage-order prefix of k-mers whose cumulative posting
+      count stays within ``ceil(mu * total)`` and ``max_entries``;
     * re-threshold postings when the user omega tightens the stored one:
       drop scores below log10((omega_eff/sigma)**k), with
       omega_eff = max(stored, user) (quirk Q10) [inference];
+    * sort by key and build the CSR arrays;
     * report loaded/total entry counts (reference: main.cpp:290-292).
     """
     if not (0.0 <= mu <= 1.0):
         raise ValueError("Mu has to a value in [0, 1]")  # reference: main.cpp:196-202
-    with open(path, "rb") as f:
-        magic = f.read(8)
-        if magic != _MAGIC:
-            raise ValueError(f"{path}: not an EPIK-TPU database (bad magic {magic!r})")
-        (hdrlen,) = np.frombuffer(f.read(8), dtype="<u8")
-        meta = json.loads(f.read(int(hdrlen)).decode("utf-8"))
-    if meta.get("version", 0) < EARLIEST_INDEX:
-        raise ValueError(
-            f"The serialization protocol version is too old (v{meta.get('version')})."
-        )
-    mm = np.memmap(path, dtype=np.uint8, mode="r")
-    arrs = {}
-    for spec in meta["arrays"]:
-        dt = np.dtype(spec["dtype"])
-        start = spec["offset"]
-        nbytes = spec["len"] * dt.itemsize
-        arrs[spec["name"]] = np.frombuffer(mm[start : start + nbytes].tobytes(), dtype=dt)
-
-    keys_f = arrs["keys"].astype(np.uint64)
-    lens_f = arrs["row_len"].astype(np.int64)
-    branches_f = arrs["branches"].astype(np.uint32)
-    scores_f = arrs["scores"].astype(np.float32)
     total_entries = int(lens_f.sum())
 
     # --- prefix filtering (mu / max-ram) --------------------------------------
@@ -283,12 +275,10 @@ def load(
     scores_f = scores_f[:kept_entries]
 
     # --- omega re-threshold (quirk Q10) ---------------------------------------
-    stored_omega = float(meta["omega"])
     eff_omega = stored_omega if user_omega is None else max(stored_omega, float(user_omega))
-    k = int(meta["kmer_size"])
-    sigma = get_alphabet(meta["sequence_type"]).sigma
+    sigma = get_alphabet(sequence_type).sigma
     if eff_omega > stored_omega:
-        log_eps = np.float32(log10_score_threshold(eff_omega, k, sigma))
+        log_eps = np.float32(log10_score_threshold(eff_omega, kmer_size, sigma))
         keep_mask = scores_f >= log_eps
         seg = np.repeat(np.arange(keep_n), lens_f)
         lens_f = np.bincount(seg[keep_mask], minlength=keep_n).astype(np.int64)
@@ -310,18 +300,90 @@ def load(
     row_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
 
     db = PhyloKmerDB(
-        sequence_type=meta["sequence_type"],
-        kmer_size=k,
+        sequence_type=sequence_type,
+        kmer_size=kmer_size,
         omega=eff_omega,
-        tree_newick=bytes(arrs["tree"]).decode("utf-8"),
+        tree_newick=tree_newick,
         keys=keys,
         row_off=row_off,
         branches=branches,
         scores=scores,
-        version=int(meta["version"]),
-        positions_loaded=bool(meta.get("positions", False)),
+        version=version,
+        positions_loaded=positions,
         num_entries_total=total_entries,
         num_entries_loaded=int(branches.shape[0]),
     )
     db.validate()
     return db
+
+
+def load(
+    path: str | os.PathLike,
+    mu: float = 1.0,
+    user_omega: float | None = None,
+    max_entries: int | None = None,
+) -> PhyloKmerDB:
+    """Load a database with load-time filtering.
+
+    Mirrors ``i2l::load(db_file, mu, omega, max_entries)``
+    (reference: main.cpp:277).  Dispatches on content: native ``.eptk``
+    files load directly; Boost-archive ``.ipk`` files (plain, gzip, or
+    zlib-compressed) route through the reconstructed reader
+    (io/ipk_boost.py) with the same filtering semantics.
+    """
+    if not (0.0 <= mu <= 1.0):
+        raise ValueError("Mu has to a value in [0, 1]")  # reference: main.cpp:196-202
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != _MAGIC:
+            if _looks_like_ipk(magic):
+                from .ipk_boost import load_ipk
+
+                return load_ipk(
+                    path, mu=mu, user_omega=user_omega, max_entries=max_entries
+                )
+            raise ValueError(f"{path}: not an EPIK-TPU database (bad magic {magic!r})")
+        (hdrlen,) = np.frombuffer(f.read(8), dtype="<u8")
+        meta = json.loads(f.read(int(hdrlen)).decode("utf-8"))
+    if meta.get("version", 0) < EARLIEST_INDEX:
+        raise ValueError(
+            f"The serialization protocol version is too old (v{meta.get('version')})."
+        )
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    arrs = {}
+    for spec in meta["arrays"]:
+        dt = np.dtype(spec["dtype"])
+        start = spec["offset"]
+        nbytes = spec["len"] * dt.itemsize
+        arrs[spec["name"]] = np.frombuffer(mm[start : start + nbytes].tobytes(), dtype=dt)
+
+    return build_filtered(
+        sequence_type=meta["sequence_type"],
+        kmer_size=int(meta["kmer_size"]),
+        stored_omega=float(meta["omega"]),
+        tree_newick=bytes(arrs["tree"]).decode("utf-8"),
+        version=int(meta["version"]),
+        keys_f=arrs["keys"].astype(np.uint64),
+        lens_f=arrs["row_len"].astype(np.int64),
+        branches_f=arrs["branches"].astype(np.uint32),
+        scores_f=arrs["scores"].astype(np.float32),
+        mu=mu,
+        user_omega=user_omega,
+        max_entries=max_entries,
+        positions=bool(meta.get("positions", False)),
+    )
+
+
+def _looks_like_ipk(magic: bytes) -> bool:
+    """First-bytes sniff for a Boost archive (plain or compressed)."""
+    if magic[:2] == b"\x1f\x8b":  # gzip container
+        return True
+    if len(magic) >= 2 and magic[0] == 0x78 and ((magic[0] << 8) | magic[1]) % 31 == 0:
+        return True  # zlib stream
+    # plain archive: size_t(22) signature-length prefix, u64 (64-bit build)
+    # or u32 immediately followed by the signature text (32-bit build)
+    import struct
+
+    if magic == struct.pack("<Q", 22):
+        return True
+    return magic[:4] == struct.pack("<I", 22) and magic[4:8] == b"seri"

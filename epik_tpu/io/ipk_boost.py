@@ -31,7 +31,14 @@ import numpy as np
 
 from .db import EARLIEST_INDEX, PhyloKmerDB
 
-__all__ = ["BinaryArchiveReader", "UnverifiedFormatError", "read_ipk", "write_ipk"]
+__all__ = [
+    "BinaryArchiveReader",
+    "UnverifiedFormatError",
+    "load_ipk",
+    "probe_ipk",
+    "read_ipk",
+    "write_ipk",
+]
 
 _SIGNATURE = b"serialization::archive"
 
@@ -127,59 +134,32 @@ class BinaryArchiveReader:
         return version
 
 
-def read_ipk(path: str) -> PhyloKmerDB:
-    """Parse a ``.ipk`` file into a :class:`PhyloKmerDB`.
+def _decompress(data: bytes) -> bytes:
+    """Transparent archive decompression.
 
-    [inference] Payload layout reconstructed from EPIK call sites; every
-    field below is a hypothesis to verify against a real file:
-
-        u32   protocol version        (db.version(), main.cpp:278)
-        str   sequence type           ("nucl"/"amino", main.cpp:287)
-        str   tree newick             (db.tree(), main.cpp:294)
-        u64   tree_index size; per node: u64 subtree_num_nodes,
-              f64 subtree_total_length            (place.cpp:113-114)
-        u64   kmer_size               (db.kmer_size())
-        f32   omega                   (db.omega())
-        u64   num k-mers; per k-mer: u64 key, u64 posting count,
-              (u32 branch, f32 score) * count     (db.search, place.cpp:358)
-    """
-    with open(path, "rb") as f:
-        data = f.read()
+    The reference build links boost::iostreams + zlib (README.md:56),
+    suggesting optionally compressed archives [inference].  Handles gzip
+    containers (1f 8b magic) and raw zlib streams (0x78 header byte with a
+    valid check bit -- 78 01 / 78 5e / 78 9c / 78 da in practice)."""
     if data[:2] == b"\x1f\x8b":
-        # boost::iostreams + zlib in the reference build deps suggests
-        # optionally gzip-compressed archives (README.md:56) [inference]
         import gzip
 
-        data = gzip.decompress(data)
-    r = BinaryArchiveReader(data)
-    r.header()
+        return gzip.decompress(data)
+    if len(data) >= 2 and data[0] == 0x78 and ((data[0] << 8) | data[1]) % 31 == 0:
+        import zlib
 
-    version = r.u32()
-    if version < EARLIEST_INDEX:
-        raise UnverifiedFormatError(
-            f"The serialization protocol version is too old (v{version})."
-        )
-    seq_type = r.string().decode("utf-8", "replace")
-    if seq_type not in ("nucl", "amino"):
-        raise UnverifiedFormatError(
-            f"unexpected sequence type {seq_type!r} -- the reconstructed .ipk "
-            "layout does not match this file; use IPK to re-export or the "
-            "eptk converter (tools/convert)"
-        )
-    tree = r.string().decode("utf-8", "replace")
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            pass  # a real archive could start with 0x78 by coincidence
+    return data
 
-    n_nodes = r.size_t()
-    if n_nodes > 100_000_000:
-        raise UnverifiedFormatError(f"implausible tree_index size {n_nodes}")
-    # stored but recomputable from the tree; kept for parity checks
-    _ti = r.array(np.dtype([("num", "<u8"), ("len", "<f8")]), n_nodes)
 
-    kmer_size = r.u64()
-    omega = r.f32()
-    n_kmers = r.size_t()
-    if n_kmers > 1 << 40:
-        raise UnverifiedFormatError(f"implausible k-mer count {n_kmers}")
+def _scan_records_python(r: BinaryArchiveReader, n_kmers: int):
+    """Pure-Python record walk (fallback when the native library is absent).
 
+    ~1 us per k-mer; the native scanner (native/epik_host.cpp::eh_ipk_scan)
+    does the same walk at memcpy speed and is preferred."""
     keys = np.empty(n_kmers, np.uint64)
     lens = np.empty(n_kmers, np.int64)
     branch_parts = []
@@ -196,30 +176,133 @@ def read_ipk(path: str) -> PhyloKmerDB:
         lens[i] = cnt
         branch_parts.append(arr["b"].astype(np.uint32))
         score_parts.append(arr["s"].astype(np.float32))
-
     branches = np.concatenate(branch_parts) if branch_parts else np.empty(0, np.uint32)
     scores = np.concatenate(score_parts) if score_parts else np.empty(0, np.float32)
-    order = np.argsort(keys, kind="stable")
-    row_off = np.concatenate([[0], np.cumsum(lens[order])]).astype(np.int64)
-    from .db import _expand_ragged
+    return keys, lens, branches, scores
 
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
-    idx = _expand_ragged(starts[order], lens[order])
-    db = PhyloKmerDB(
+
+def _scan_records(r: BinaryArchiveReader, n_kmers: int):
+    """Native-accelerated walk of the k-mer record section."""
+    try:
+        from ..native import native_ipk_records
+
+        out = native_ipk_records(r.data, r.pos, n_kmers, r.size_width)
+    except ValueError as e:
+        raise UnverifiedFormatError(
+            f"k-mer record walk failed at offset {e.args[0]} "
+            f"(truncated archive or implausible posting count)"
+        ) from None
+    except Exception:
+        out = None  # native build unavailable; fall back
+    if out is None:
+        return _scan_records_python(r, n_kmers)
+    keys, lens, branches, scores, end = out
+    r.pos = end
+    return keys, lens, branches, scores
+
+
+def _parse_raw(data: bytes):
+    """Parse a decompressed archive into file-order flat arrays.
+
+    [inference] Payload layout reconstructed from EPIK call sites; every
+    field below is a hypothesis to verify against a real file:
+
+        u32   protocol version        (db.version(), main.cpp:278)
+        str   sequence type           ("nucl"/"amino", main.cpp:287)
+        str   tree newick             (db.tree(), main.cpp:294)
+        u64   tree_index size; per node: u64 subtree_num_nodes,
+              f64 subtree_total_length            (place.cpp:113-114)
+        u64   kmer_size               (db.kmer_size())
+        f32   omega                   (db.omega())
+        u64   num k-mers; per k-mer: u64 key, u64 posting count,
+              (u32 branch, f32 score) * count     (db.search, place.cpp:358)
+
+    Returns ``(version, seq_type, tree, kmer_size, omega, keys, lens,
+    branches, scores)`` with k-mer rows in STORAGE order (filter order:
+    most informative first [inference]) so load-time mu/max-ram prefix
+    filtering applies before the key sort.
+    """
+    r = BinaryArchiveReader(data)
+    r.header()
+
+    version = r.u32()
+    if version < EARLIEST_INDEX:
+        raise UnverifiedFormatError(
+            f"The serialization protocol version is too old (v{version})."
+        )
+    seq_type = r.string().decode("utf-8", "replace")
+    if seq_type not in ("nucl", "amino"):
+        raise UnverifiedFormatError(
+            f"unexpected sequence type {seq_type!r} -- the reconstructed .ipk "
+            "layout does not match this file; run epik_tpu.tools.probe_ipk "
+            "for a layout diagnosis, or use IPK to re-export / the eptk "
+            "converter (tools/convert)"
+        )
+    tree = r.string().decode("utf-8", "replace")
+
+    n_nodes = r.size_t()
+    if n_nodes > 100_000_000:
+        raise UnverifiedFormatError(f"implausible tree_index size {n_nodes}")
+    # stored but recomputable from the tree; kept for parity checks
+    _ti = r.array(np.dtype([("num", "<u8"), ("len", "<f8")]), n_nodes)
+
+    kmer_size = r.u64()
+    omega = r.f32()
+    n_kmers = r.size_t()
+    if n_kmers > 1 << 40:
+        raise UnverifiedFormatError(f"implausible k-mer count {n_kmers}")
+
+    keys, lens, branches, scores = _scan_records(r, n_kmers)
+    return version, seq_type, tree, kmer_size, omega, keys, lens, branches, scores
+
+
+def load_ipk(
+    path: str,
+    mu: float = 1.0,
+    user_omega: float | None = None,
+    max_entries: int | None = None,
+) -> PhyloKmerDB:
+    """Load a ``.ipk`` file with the reference's load-time filtering.
+
+    The ``i2l::load(db_file, mu, omega, max_entries)`` analog
+    (reference: main.cpp:277) for reconstructed archives: parse (plain,
+    gzip, or zlib-compressed), then apply the shared mu/max-ram prefix +
+    omega re-threshold + CSR build (io/db.py::build_filtered).
+    ``io.db.load`` dispatches here automatically on non-eptk magic.
+
+    On a layout mismatch raises :class:`UnverifiedFormatError`; run
+    ``python -m epik_tpu.tools.probe_ipk <file>`` (or ``epik probe``) for a
+    field-by-field diagnosis of where the real layout deviates.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    data = _decompress(data)
+    (version, seq_type, tree, kmer_size, omega,
+     keys, lens, branches, scores) = _parse_raw(data)
+    from .db import build_filtered
+
+    return build_filtered(
         sequence_type=seq_type,
         kmer_size=int(kmer_size),
-        omega=float(omega),
+        stored_omega=float(omega),
         tree_newick=tree,
-        keys=keys[order],
-        row_off=row_off,
-        branches=branches[idx],
-        scores=scores[idx],
         version=int(version),
-        num_entries_total=int(lens.sum()),
-        num_entries_loaded=int(lens.sum()),
+        keys_f=keys,
+        lens_f=lens,
+        branches_f=branches,
+        scores_f=scores,
+        mu=mu,
+        user_omega=user_omega,
+        max_entries=max_entries,
     )
-    db.validate()
-    return db
+
+
+def read_ipk(path: str) -> PhyloKmerDB:
+    """Parse a ``.ipk`` file into a :class:`PhyloKmerDB` (no filtering).
+
+    See :func:`load_ipk` for the filtered ``i2l::load`` analog and
+    :func:`_parse_raw` for the reconstructed layout."""
+    return load_ipk(path)
 
 
 def write_ipk(db: PhyloKmerDB, path: str) -> None:
@@ -256,14 +339,180 @@ def write_ipk(db: PhyloKmerDB, path: str) -> None:
     out.extend(struct.pack("<Q", db.kmer_size))
     out.extend(struct.pack("<f", db.omega))
     put_size(db.num_kmers)
-    for i in range(db.num_kmers):
-        out.extend(struct.pack("<Q", int(db.keys[i])))
-        lo, hi = int(db.row_off[i]), int(db.row_off[i + 1])
-        put_size(hi - lo)
-        rec = np.empty(hi - lo, dtype=np.dtype([("b", "<u4"), ("s", "<f4")]))
-        rec["b"] = db.branches[lo:hi]
-        rec["s"] = db.scores[lo:hi]
-        out.extend(rec.tobytes())
+
+    # vectorized record section: records are [u64 key | u64 count |
+    # count x (u32 branch, f32 score)] back to back, and posting payloads
+    # in record order are exactly db.branches/db.scores in CSR order -- so
+    # one header scatter + one masked payload fill builds the whole section
+    # (a per-k-mer Python loop costs ~1 us/record: minutes at 10^8 entries)
+    n = db.num_kmers
+    lens = np.diff(db.row_off).astype(np.int64)
+    rec_bytes = 16 + 8 * lens
+    off = np.concatenate([[0], np.cumsum(rec_bytes)])
+    sect = np.empty(int(off[-1]), np.uint8)
+    hdr = np.empty((n, 16), np.uint8)
+    hdr[:, :8] = db.keys.astype("<u8").view(np.uint8).reshape(n, 8)
+    hdr[:, 8:] = lens.astype("<u8").view(np.uint8).reshape(n, 8)
+    hdr_idx = (off[:-1, None] + np.arange(16)).ravel()
+    sect[hdr_idx] = hdr.ravel()
+    payload = np.empty(db.branches.shape[0], dtype=np.dtype([("b", "<u4"), ("s", "<f4")]))
+    payload["b"] = db.branches
+    payload["s"] = db.scores
+    mask = np.ones(sect.shape[0], bool)
+    mask[hdr_idx] = False
+    sect[mask] = payload.view(np.uint8)
 
     with open(path, "wb") as f:
         f.write(bytes(out))
+        f.write(sect.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# layout probe: field-by-field diagnosis for the day a real .ipk arrives
+# ---------------------------------------------------------------------------
+
+
+def _hexdump(data: bytes, off: int, n: int = 48) -> str:
+    chunk = data[off : off + n]
+    hx = " ".join(f"{b:02x}" for b in chunk)
+    asc = "".join(chr(b) if 32 <= b < 127 else "." for b in chunk)
+    return f"  bytes[{off}:{off + len(chunk)}] = {hx}\n  ascii: {asc}"
+
+
+def _interpretations(data: bytes, off: int) -> str:
+    """Candidate numeric readings of the bytes at ``off`` (all widths)."""
+    out = []
+    for name, fmt, w in (
+        ("u16", "<H", 2), ("u32", "<I", 4), ("u64", "<Q", 8),
+        ("i32", "<i", 4), ("f32", "<f", 4), ("f64", "<d", 8),
+    ):
+        if off + w <= len(data):
+            (v,) = struct.unpack_from(fmt, data, off)
+            out.append(f"    as {name}: {v!r}")
+    return "\n".join(out)
+
+
+def _trace_fields(data: bytes, size_width: int):
+    """Parse the reconstructed layout recording every field; stop at the
+    first deviation.  Returns (trace_lines, error_or_None)."""
+    t: list[str] = []
+    r = BinaryArchiveReader(data, size_width=size_width)
+
+    def rec(name, off, val):
+        t.append(f"  @{off:<10d} {name:24s} = {val!r}")
+
+    try:
+        off = r.pos
+        sig = r.string()
+        rec("archive signature", off, sig[:32])
+        if sig != _SIGNATURE:
+            raise UnverifiedFormatError("signature mismatch")
+        off = r.pos
+        bv = r.u16()
+        rec("boost library version", off, bv)
+        off = r.pos
+        version = r.u32()
+        rec("protocol version (u32)", off, version)
+        off = r.pos
+        seq_type = r.string()
+        rec("sequence type (str)", off, seq_type[:32])
+        if seq_type not in (b"nucl", b"amino"):
+            raise UnverifiedFormatError(f"unexpected sequence type {seq_type[:16]!r}")
+        off = r.pos
+        tree = r.string()
+        rec("tree newick (str)", off, f"{len(tree)} bytes, {tree[:40]!r}...")
+        if not tree.startswith(b"("):
+            raise UnverifiedFormatError("tree string does not start with '('")
+        off = r.pos
+        n_nodes = r.size_t()
+        rec("tree_index size", off, n_nodes)
+        if n_nodes > 100_000_000:
+            raise UnverifiedFormatError(f"implausible tree_index size {n_nodes}")
+        off = r.pos
+        ti = r.array(np.dtype([("num", "<u8"), ("len", "<f8")]), n_nodes)
+        rec("tree_index[0:3]", off,
+            [(int(a), float(b)) for a, b in ti[:3]] if n_nodes else [])
+        off = r.pos
+        kmer_size = r.u64()
+        rec("kmer_size (u64)", off, kmer_size)
+        if not (1 <= kmer_size <= 64):
+            raise UnverifiedFormatError(f"implausible kmer_size {kmer_size}")
+        off = r.pos
+        omega = r.f32()
+        rec("omega (f32)", off, round(omega, 6))
+        off = r.pos
+        n_kmers = r.size_t()
+        rec("num k-mers", off, n_kmers)
+        if n_kmers > 1 << 40:
+            raise UnverifiedFormatError(f"implausible k-mer count {n_kmers}")
+        for i in range(min(3, n_kmers)):
+            off = r.pos
+            key = r.u64()
+            cnt = r.size_t()
+            rec(f"k-mer[{i}] key/count", off, (key, cnt))
+            if cnt > 1 << 32:
+                raise UnverifiedFormatError(f"implausible posting count {cnt}")
+            pair = r.array(np.dtype([("b", "<u4"), ("s", "<f4")]), min(cnt, 2))
+            rec(f"k-mer[{i}] postings[:2]", r.pos,
+                [(int(b), round(float(s), 4)) for b, s in pair])
+            r.pos = off + 8 + r.size_width + 8 * cnt
+        remaining = len(data) - r.pos
+        rec("first records parsed; bytes after sampled prefix", r.pos, remaining)
+        return t, None
+    except (UnverifiedFormatError, struct.error, ValueError) as e:
+        return t, (r.pos, e)
+
+
+def probe_ipk(path: str) -> str:
+    """Dump candidate field offsets/interpretations for an ``.ipk`` file.
+
+    The diagnosis tool for :class:`UnverifiedFormatError`: walks the
+    reconstructed layout (see :func:`read_ipk`) under both 64- and 32-bit
+    ``size_t`` conventions, printing every field with its byte offset until
+    the first deviation, then hexdumps the failure site with all plausible
+    numeric interpretations, and scans for landmark content (sequence-type
+    literals, the embedded newick) anywhere in the archive.  The output is
+    what a human needs to fix the layout field by field against a real
+    file (SURVEY.md section 7 step 2).
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    lines = [f"probe: {path} ({len(raw)} bytes)"]
+    data = _decompress(raw)
+    if data is not raw:
+        kind = "gzip" if raw[:2] == b"\x1f\x8b" else "zlib"
+        lines.append(f"compression: {kind} -> {len(data)} bytes decompressed")
+    else:
+        lines.append("compression: none detected")
+    lines.append(_hexdump(data, 0))
+
+    # landmark scans (layout-independent evidence)
+    for lit in (b"nucl", b"amino"):
+        idx = data.find(lit, 0, 1 << 20)
+        lines.append(
+            f"landmark {lit.decode()!r}: "
+            + (f"found at offset {idx}" if idx >= 0 else "not found in first 1MB")
+        )
+    semi = data.find(b");")
+    paren = data.find(b"(")
+    if 0 <= paren < semi:
+        lines.append(
+            f"landmark newick: '(' at {paren}, ');' at {semi} "
+            f"(candidate tree string of ~{semi + 2 - paren} bytes)"
+        )
+    else:
+        lines.append("landmark newick: no '(...);' span found")
+
+    for sw in (8, 4):
+        lines.append(f"\n--- reconstructed layout walk, size_t width {sw} ---")
+        trace, err = _trace_fields(data, sw)
+        lines.extend(trace)
+        if err is None:
+            lines.append("  layout walk CLEAN under this width")
+        else:
+            pos, e = err
+            lines.append(f"  DEVIATES at offset {pos}: {e}")
+            lines.append(_hexdump(data, pos))
+            lines.append("  candidate readings at the failure offset:")
+            lines.append(_interpretations(data, pos))
+    return "\n".join(lines)

@@ -139,6 +139,16 @@ def _declare(lib) -> None:
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.eh_ipk_scan.restype = ctypes.c_int64
+    lib.eh_ipk_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.eh_ipk_extract.restype = ctypes.c_int64
+    lib.eh_ipk_extract.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
 
 
 def _np_ptr(a: np.ndarray):
@@ -294,6 +304,40 @@ class NativeScalarPlacer:
                 self._lib.eh_scalar_db_free(self._h)
         except Exception:
             pass
+
+
+def native_ipk_records(data: bytes, start: int, n_kmers: int, size_width: int):
+    """Scan + extract the .ipk k-mer record section at C speed.
+
+    Walks ``n_kmers`` records of ``[u64 key | size_t count | count x
+    (u32 branch, f32 score)]`` from byte ``start``.  Returns
+    ``(keys, lens, branches, scores, end_offset)``; raises ValueError with
+    the failing byte offset on truncation or an implausible count (the
+    .ipk reader converts that to its UnverifiedFormatError).  Returns None
+    when the native library is unavailable (caller falls back to Python).
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    keys = np.empty(n_kmers, np.uint64)
+    lens = np.empty(n_kmers, np.int64)
+    end = lib.eh_ipk_scan(
+        _np_ptr(buf), buf.shape[0], start, n_kmers, size_width,
+        _np_ptr(keys), _np_ptr(lens),
+    )
+    if end < 0:
+        raise ValueError(-end - 1)  # failing byte offset
+    total = int(lens.sum())
+    branches = np.empty(total, np.uint32)
+    scores = np.empty(total, np.float32)
+    end2 = lib.eh_ipk_extract(
+        _np_ptr(buf), buf.shape[0], start, n_kmers, size_width,
+        _np_ptr(branches), _np_ptr(scores),
+    )
+    if end2 < 0:
+        raise ValueError(-end2 - 1)
+    return keys, lens, branches, scores, int(end)
 
 
 def native_format_jplace(ids, scores, wr, dist, pend, keep,

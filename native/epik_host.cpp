@@ -541,3 +541,64 @@ EH_API int64_t eh_format_jplace(long R, int K, const int32_t* ids,
     }
     return o - out;
 }
+
+// ---------------------------------------------------------------------------
+// 5. .ipk record scanner
+// ---------------------------------------------------------------------------
+// The k-mer section of an .ipk archive is a sequence of variable-length
+// records [u64 key | size_t count | count x (u32 branch, f32 score)]
+// (reconstructed layout; reference load: epik/src/epik/main.cpp:277 via the
+// empty i2l submodule -- see epik_tpu/io/ipk_boost.py).  Record boundaries
+// depend on every preceding count, so parsing is inherently sequential; this
+// walk runs at memcpy speed where the Python per-record loop costs ~1 us
+// per k-mer (minutes on a 10^8-entry database).
+
+// Pass 1: walk n records starting at byte `start`; fill keys[n] and lens[n].
+// Returns the end offset on success, or -(pos + 1) on truncation /
+// implausible count at byte pos.  sw = sizeof(size_t) in the writing build
+// (8 on 64-bit, 4 on 32-bit archives).
+EH_API int64_t eh_ipk_scan(const uint8_t* data, int64_t len, int64_t start,
+                           int64_t n, int sw, uint64_t* keys, int64_t* lens) {
+    int64_t pos = start;
+    const int64_t head = 8 + sw;
+    for (int64_t i = 0; i < n; ++i) {
+        if (pos + head > len) return -(pos + 1);
+        uint64_t key, cnt = 0;
+        std::memcpy(&key, data + pos, 8);
+        std::memcpy(&cnt, data + pos + 8, (size_t)sw);  // little-endian host
+        if (cnt > (uint64_t)1 << 32) return -(pos + 1);
+        const int64_t body = (int64_t)cnt * 8;
+        if (pos + head + body > len) return -(pos + 1);
+        keys[i] = key;
+        lens[i] = (int64_t)cnt;
+        pos += head + body;
+    }
+    return pos;
+}
+
+// Pass 2: same walk, copying the posting payloads into branches[] /
+// scores[] (total sizes known from pass 1).  Returns the end offset, or
+// -(pos + 1) on truncation.
+EH_API int64_t eh_ipk_extract(const uint8_t* data, int64_t len, int64_t start,
+                              int64_t n, int sw, uint32_t* branches,
+                              float* scores) {
+    int64_t pos = start;
+    const int64_t head = 8 + sw;
+    int64_t out = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (pos + head > len) return -(pos + 1);
+        uint64_t cnt = 0;
+        std::memcpy(&cnt, data + pos + 8, (size_t)sw);
+        const int64_t body = (int64_t)cnt * 8;
+        if (cnt > (uint64_t)1 << 32 || pos + head + body > len)
+            return -(pos + 1);
+        const uint8_t* rec = data + pos + head;
+        for (uint64_t j = 0; j < cnt; ++j) {
+            std::memcpy(branches + out, rec + j * 8, 4);
+            std::memcpy(scores + out, rec + j * 8 + 4, 4);
+            ++out;
+        }
+        pos += head + body;
+    }
+    return pos;
+}
