@@ -45,7 +45,7 @@ from ..core.tree import PhyloTree
 from ..io.db import PhyloKmerDB
 from ..ops.expand import ragged_expand
 from ..ops.hashtable import build_table, lookup
-from .types import ArrayPlacedCollection, PlacedCollection, Placement
+from .types import ArrayPlacedCollection, PlacedCollection
 
 __all__ = ["JaxPlacer", "PlacerConfig"]
 
@@ -1141,10 +1141,20 @@ class JaxPlacer:
         return _Pending(sequence_map, seqs, m_signed, out, (P, PA), (inputs, R, K))
 
     def _place_async_bytes(self, sequence_map, seqs):
-        """Device-tokenize dispatch: one small uint8 H2D transfer per batch.
+        staged = self._stage_bytes(seqs)
+        if staged is None:
+            return None
+        fn, arrays, m_signed, R_true, K = staged
+        out = fn(*arrays)
+        return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
 
-        Returns None when the batch cannot take the fast path (every read
-        shorter than k), in which case the caller falls back to the classic
+    def _stage_bytes(self, seqs):
+        """Stage the device-tokenize fast path: one small uint8 H2D transfer.
+
+        Returns ``(fn, arrays, m_signed, R_true, K)`` with ``fn(*arrays)``
+        the fused jitted step, or None when the batch cannot take the fast
+        path (every read shorter than k), in which case the caller falls
+        back to the classic
         host-tokenize path.
         """
         cfg = self.config
@@ -1195,15 +1205,17 @@ class JaxPlacer:
 
         K = min(cfg.keep_at_most, self.B)
         buf = pack_reads(codes, lens_pad)
-        out = _place_batch_dense_bytes(
-            self._plane_s, self._dev_direct,
-            jnp.asarray(buf), jnp.asarray(arows),
+        fn = functools.partial(
+            _place_batch_dense_bytes,
             R=R, B=self.B, K=K, Amax=Amax, k=self.k, Lmax=Lmax,
             num_kmers=self.db.num_kmers,
             log_eps=float(self.log_eps), eps=float(self.eps),
             pallas_rows=self._pallas_rows, interpret=self._interpret,
         )
-        return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
+        arrays = (
+            self._plane_s, self._dev_direct, jnp.asarray(buf), jnp.asarray(arows),
+        )
+        return fn, arrays, m_signed, R_true, K
 
     def _dispatch(self, inputs, R, K, P, PA):
         e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32 = inputs
@@ -1274,7 +1286,11 @@ class JaxPlacer:
         """(jittable fn, example array args) for the staged device step.
 
         Used by the harness entry point and benchmarks: ``fn(*args)`` is the
-        full fused placement step with all static parameters bound.
+        full fused placement step with all static parameters bound.  Stages
+        the PRODUCTION path for this placer's configuration: the
+        device-tokenize dense-bytes step when active (the default DNA fast
+        path), the host-lookup dense-rows step for other dense configs, and
+        the CSR scatter/matmul step otherwise.
         """
         cfg = self.config
         sequence_map: dict[bytes, list[str]] = {}
@@ -1282,7 +1298,39 @@ class JaxPlacer:
             sequence_map.setdefault(seq, []).append(header)
         seqs = list(sequence_map.keys())
         R = len(seqs)
-        tokens = tokenize_batch(seqs, self.k, self.alphabet)
+
+        if self._fast_bytes:
+            staged = self._stage_bytes(seqs)
+            if staged is not None:
+                fn, arrays, _, _, _ = staged
+                return fn, arrays
+
+        tokens = self._tokenize(seqs)
+        if self._dense_db and self._host_lookup:
+            m_signed = tokens.seq_lengths - self.k + 1
+            m_f32 = np.where(
+                m_signed >= 0,
+                m_signed.astype(np.float32),
+                np.float32(float(_U64)) + m_signed.astype(np.float32),
+            ).astype(np.float32)
+            wpr = int(np.bincount(tokens.exact_read, minlength=R).max()) if tokens.exact_read.size else 1
+            apr = int(np.bincount(tokens.amb_read, minlength=R).max()) if tokens.amb_read.size else 1
+            Wmax = max(16, -(-wpr // 16) * 16)
+            Amax = _bucket(apr, 8) if tokens.amb_keys.size else 0
+            rows = self._rows_matrix(tokens.exact_keys, tokens.exact_read, R, Wmax)
+            arows = self._rows_matrix(tokens.amb_keys, tokens.amb_read, R, Amax)
+            fn = functools.partial(
+                _place_batch_dense_rows,
+                R=R, B=self.B, K=min(cfg.keep_at_most, self.B),
+                Wmax=Wmax, Amax=Amax, k=self.k,
+                log_eps=float(self.log_eps), eps=float(self.eps),
+                pallas_rows=self._pallas_rows, interpret=self._interpret,
+            )
+            args = (
+                self._plane_s, jnp.asarray(rows), jnp.asarray(arows),
+                jnp.asarray(m_f32),
+            )
+            return fn, args
         m_signed = tokens.seq_lengths - self.k + 1
         m_f32 = np.where(
             m_signed >= 0,
@@ -1308,9 +1356,7 @@ class JaxPlacer:
             log_eps=float(self.log_eps), eps=float(self.eps),
             dense=self._dense, interpret=self._interpret,
         )
-        import functools as _ft
-
-        fn = _ft.partial(_place_batch_device, **statics)
+        fn = functools.partial(_place_batch_device, **statics)
         args = (
             self._dev_table, self._dev_postings, self._dev_row_off,
             jnp.asarray(e_hi), jnp.asarray(e_lo),
@@ -1334,24 +1380,6 @@ class JaxPlacer:
             k=self.k, B=self.B, keep_at_most=self.config.keep_at_most,
             keep_factor=self.config.keep_factor,
         )
-
-    def _fallback(self, m_wrapped: int) -> tuple[list[Placement], bool]:
-        """No-match fabrication (quirk Q2) with faithful host double math
-        (reference: place.cpp:141-152,164-184); Python float pow IS the
-        reference's double pow, underflow-to-zero included (quirk Q3)."""
-        k = self.k
-        ts = float(
-            np.float32(self.log_eps * np.float32(float(m_wrapped)) / np.float32(k))
-        )
-        # sum_scores with zero placements: N * pow(10, f32 exponent)
-        exponent = float(np.float32(np.float32(float(m_wrapped)) * self.log_eps / np.float32(k)))
-        score_sum = float(self.B) * 10.0**exponent
-        out = []
-        for i in range(self.config.keep_at_most):
-            power = 10.0**ts
-            wr = 0.0 if (score_sum == 0.0 or power == 0.0) else power / score_sum
-            out.append(Placement(i, ts, wr, 0, 0.0, 0.0))
-        return out, score_sum == 0.0
 
 
 def assemble_arrays(

@@ -666,6 +666,21 @@ class ShardedJaxPlacer:
 
     # -- wait + assembly ---------------------------------------------------------
 
+    @staticmethod
+    def _fetch(out) -> np.ndarray:
+        """Device->host fetch that works single- and multi-process.
+
+        On a multi-host mesh the result array spans non-addressable devices;
+        ``process_allgather`` exchanges the data-axis shards so EVERY
+        process sees the full batch (each rank can then run its own
+        assembly/writer; multi-host init: parallel/mesh.py::init_distributed).
+        """
+        if getattr(out, "is_fully_addressable", True):
+            return np.asarray(out)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(out, tiled=True))
+
     def place_wait(self, pending: _Pending) -> PlacedCollection:
         if pending.out is None:
             return PlacedCollection(sequence_map=pending.sequence_map, placed_seqs=[])
@@ -674,14 +689,15 @@ class ShardedJaxPlacer:
         R_loc = self._padded_batch_geometry(R_true)
 
         if pending.budgets is None:  # dense mode: no overflow retries
-            arr = np.asarray(pending.out)  # (n_data, R_loc+1, 4K+2): one transfer
+            # (n_data, R_loc+1, 4K+2): one transfer
+            arr = self._fetch(pending.out)
             flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
             return self._assemble_flat(pending, flat, K)
 
         Pb, PAb = pending.budgets
         out = pending.out
         while True:
-            arr = np.asarray(out)
+            arr = self._fetch(out)
             totals = arr[:, -1, :]
             e_tot = max(
                 (int(t[0]) << 20) + int(t[1]) for t in totals
