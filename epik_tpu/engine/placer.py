@@ -761,7 +761,119 @@ class _Pending:
     redo: tuple | None
 
 
-class JaxPlacer:
+class HostStaging:
+    """Host-side batch staging shared by the single-chip and sharded placers:
+    native-C++ tokenization with a GIL-releasing thread pool and threaded
+    key->row binary search (the host work that overlaps device compute in
+    the double-buffered batch loop).
+
+    Requires attributes: ``db``, ``k``, ``alphabet``, ``config``,
+    ``_lazy_lock``, ``_native_tok``, ``_tok_pool``.
+    """
+
+    def _init_staging(self):
+        import threading
+
+        self._lazy_lock = threading.Lock()
+        self._native_tok = None  # resolved lazily on first batch
+        self._tok_pool = None
+
+    def _tokenize(self, seqs):
+        """Native C++ tokenizer when built; numpy single-pass otherwise.
+
+        With ``config.host_threads > 1`` the batch splits into chunks
+        tokenized concurrently (ctypes releases the GIL during the C call)
+        and the streams are re-merged with read ids offset."""
+        if self._native_tok is None:
+            try:
+                from ..native import native_available, native_tokenize_batch
+
+                self._native_tok = native_tokenize_batch if native_available() else False
+            except Exception:
+                self._native_tok = False
+        tok = self._native_tok or tokenize_batch
+        nt = self.config.host_threads
+        if nt <= 1 or len(seqs) < 2 * nt:
+            return tok(seqs, self.k, self.alphabet)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..core.kmers import BatchTokens
+
+        chunk = -(-len(seqs) // nt)
+        parts = [seqs[i : i + chunk] for i in range(0, len(seqs), chunk)]
+        if self._tok_pool is None:
+            with self._lazy_lock:
+                if self._tok_pool is None:
+                    self._tok_pool = ThreadPoolExecutor(max_workers=nt)
+        outs = list(self._tok_pool.map(lambda p: tok(p, self.k, self.alphabet), parts))
+        # merge with read-id offsets
+        off = 0
+        e_keys, e_read, a_keys, a_read, a_order = [], [], [], [], []
+        for t in outs:
+            e_keys.append(t.exact_keys)
+            e_read.append(t.exact_read + off)
+            a_keys.append(t.amb_keys)
+            a_read.append(t.amb_read + off)
+            a_order.append(t.amb_order)
+            off += t.num_reads
+        cat = np.concatenate
+        return BatchTokens(
+            num_reads=off,
+            num_windows=cat([t.num_windows for t in outs]),
+            seq_lengths=cat([t.seq_lengths for t in outs]),
+            exact_keys=cat(e_keys) if e_keys else np.empty(0, np.uint64),
+            exact_read=cat(e_read).astype(np.int32),
+            amb_keys=cat(a_keys) if a_keys else np.empty(0, np.uint64),
+            amb_read=cat(a_read).astype(np.int32),
+            amb_order=cat(a_order).astype(np.int32),
+        )
+
+    def _host_rows(self, keys: np.ndarray) -> np.ndarray:
+        """Resolve keys -> dense plane row indices on the host.
+
+        Binary search over the sorted key array (io/db.py guarantees sorted
+        unique keys); misses map to the all-zero last plane row.  This is
+        the host half of the lookup_where="host" fast path -- it runs on CPU
+        threads that would otherwise idle while the chip computes the
+        previous batch."""
+        dbk = self.db.keys
+        n = dbk.shape[0]
+        if keys.size == 0:
+            return np.empty(0, np.int32)
+        nt = max(1, self.config.host_threads)
+        if nt > 1 and keys.size >= 1 << 16:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._tok_pool is None:
+                with self._lazy_lock:
+                    if self._tok_pool is None:
+                        self._tok_pool = ThreadPoolExecutor(max_workers=nt)
+            chunk = -(-keys.size // nt)
+            parts = [keys[i : i + chunk] for i in range(0, keys.size, chunk)]
+            # np.searchsorted releases the GIL, so chunks run concurrently
+            idx = np.concatenate(
+                list(self._tok_pool.map(lambda q: np.searchsorted(dbk, q), parts))
+            )
+        else:
+            idx = np.searchsorted(dbk, keys)
+        idx_c = np.minimum(idx, n - 1)
+        return np.where(dbk[idx_c] == keys, idx_c, n).astype(np.int32)
+
+    def _rows_matrix(self, keys: np.ndarray, read: np.ndarray, R: int, width: int):
+        """(R, width) per-read plane-row matrix in processing order; padding
+        slots hold the all-zero row index."""
+        zero_row = self.db.keys.shape[0]
+        M = np.full((R, width), zero_row, dtype=np.int32)
+        if keys.size:
+            rows = self._host_rows(keys)
+            counts = np.bincount(read, minlength=R)
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            cols = np.arange(keys.shape[0]) - starts[read]
+            M[read, cols] = rows
+        return M
+
+
+class JaxPlacer(HostStaging):
     """Single-device TPU placer with the reference's ``place(batch)`` surface
     (reference: epik/src/epik/main.cpp:295,344)."""
 
@@ -811,11 +923,9 @@ class JaxPlacer:
         self._avg_plen = float(lens.mean()) if lens.size else 1.0
         self._max_plen = int(lens.max()) if lens.size else 0
 
-        import threading
-
-        self._lazy_lock = threading.Lock()
-        self._native_tok = None  # resolved lazily on first batch
-        self._tok_pool = None
+        self._init_staging()
+        #: CSR budget-overflow re-dispatches (observability; tests assert on it)
+        self.overflow_retries = 0
         mode = self.config.accumulate
         backend = jax.default_backend()
         self._dense = mode == "matmul" or (mode == "auto" and backend == "tpu")
@@ -928,100 +1038,6 @@ class JaxPlacer:
         hi = (padded >> np.uint64(32)).astype(np.uint32)
         lo = (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         return hi, lo
-
-    def _tokenize(self, seqs):
-        """Native C++ tokenizer when built; numpy single-pass otherwise.
-
-        With ``config.host_threads > 1`` the batch splits into chunks
-        tokenized concurrently (ctypes releases the GIL during the C call)
-        and the streams are re-merged with read ids offset."""
-        if self._native_tok is None:
-            try:
-                from ..native import native_available, native_tokenize_batch
-
-                self._native_tok = native_tokenize_batch if native_available() else False
-            except Exception:
-                self._native_tok = False
-        tok = self._native_tok or tokenize_batch
-        nt = self.config.host_threads
-        if nt <= 1 or len(seqs) < 2 * nt:
-            return tok(seqs, self.k, self.alphabet)
-        from concurrent.futures import ThreadPoolExecutor
-
-        from ..core.kmers import BatchTokens
-
-        chunk = -(-len(seqs) // nt)
-        parts = [seqs[i : i + chunk] for i in range(0, len(seqs), chunk)]
-        if self._tok_pool is None:
-            with self._lazy_lock:
-                if self._tok_pool is None:
-                    self._tok_pool = ThreadPoolExecutor(max_workers=nt)
-        outs = list(self._tok_pool.map(lambda p: tok(p, self.k, self.alphabet), parts))
-        # merge with read-id offsets
-        off = 0
-        e_keys, e_read, a_keys, a_read, a_order = [], [], [], [], []
-        for t in outs:
-            e_keys.append(t.exact_keys)
-            e_read.append(t.exact_read + off)
-            a_keys.append(t.amb_keys)
-            a_read.append(t.amb_read + off)
-            a_order.append(t.amb_order)
-            off += t.num_reads
-        cat = np.concatenate
-        return BatchTokens(
-            num_reads=off,
-            num_windows=cat([t.num_windows for t in outs]),
-            seq_lengths=cat([t.seq_lengths for t in outs]),
-            exact_keys=cat(e_keys) if e_keys else np.empty(0, np.uint64),
-            exact_read=cat(e_read).astype(np.int32),
-            amb_keys=cat(a_keys) if a_keys else np.empty(0, np.uint64),
-            amb_read=cat(a_read).astype(np.int32),
-            amb_order=cat(a_order).astype(np.int32),
-        )
-
-    def _host_rows(self, keys: np.ndarray) -> np.ndarray:
-        """Resolve keys -> dense plane row indices on the host.
-
-        Binary search over the sorted key array (io/db.py guarantees sorted
-        unique keys); misses map to the all-zero last plane row.  This is
-        the host half of the lookup_where="host" fast path -- it runs on CPU
-        threads that would otherwise idle while the chip computes the
-        previous batch."""
-        dbk = self.db.keys
-        n = dbk.shape[0]
-        if keys.size == 0:
-            return np.empty(0, np.int32)
-        nt = max(1, self.config.host_threads)
-        if nt > 1 and keys.size >= 1 << 16:
-            from concurrent.futures import ThreadPoolExecutor
-
-            if self._tok_pool is None:
-                with self._lazy_lock:
-                    if self._tok_pool is None:
-                        self._tok_pool = ThreadPoolExecutor(max_workers=nt)
-            chunk = -(-keys.size // nt)
-            parts = [keys[i : i + chunk] for i in range(0, keys.size, chunk)]
-            # np.searchsorted releases the GIL, so chunks run concurrently
-            idx = np.concatenate(
-                list(self._tok_pool.map(lambda q: np.searchsorted(dbk, q), parts))
-            )
-        else:
-            idx = np.searchsorted(dbk, keys)
-        idx_c = np.minimum(idx, n - 1)
-        return np.where(dbk[idx_c] == keys, idx_c, n).astype(np.int32)
-
-    def _rows_matrix(self, keys: np.ndarray, read: np.ndarray, R: int, width: int):
-        """(R, width) per-read plane-row matrix in processing order; padding
-        slots hold the all-zero row index."""
-        zero_row = self.db.keys.shape[0]
-        M = np.full((R, width), zero_row, dtype=np.int32)
-        if keys.size:
-            rows = self._host_rows(keys)
-            counts = np.bincount(read, minlength=R)
-            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-            cols = np.arange(keys.shape[0]) - starts[read]
-            M[read, cols] = rows
-        return M
 
     @staticmethod
     def _key_matrix(keys: np.ndarray, read: np.ndarray, R: int, width: int):
@@ -1272,6 +1288,7 @@ class JaxPlacer:
             if e_total <= P and a_total <= PA:
                 break
             # budget overflow: grow the static budget bucket and re-run
+            self.overflow_retries += 1
             lo = max(cfg.min_bucket, 512) if self._dense else cfg.min_bucket
             P = _bucket(int(e_total), lo) if e_total > P else P
             PA = _bucket(int(a_total), cfg.min_bucket) if a_total > PA else PA

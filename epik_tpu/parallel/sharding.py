@@ -43,10 +43,10 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..core.alphabet import get_alphabet
-from ..core.kmers import tokenize_batch
 from ..core.scoring import score_threshold
 from ..core.tree import PhyloTree
 from ..engine.placer import (
+    HostStaging,
     _ORDER_INF,
     _POW10_ZERO,
     _U64,
@@ -413,10 +413,13 @@ def _sharded_csr_step(
 # ---------------------------------------------------------------------------
 
 
-class ShardedJaxPlacer:
+class ShardedJaxPlacer(HostStaging):
     """Multi-device placer: same ``place``/``place_async``/``place_wait``
     surface as JaxPlacer, so the in-flight batch pipeline
-    (engine/pipeline.py) drives both identically."""
+    (engine/pipeline.py) drives both identically.  Host staging (native
+    tokenizer + threaded key->row lookup) is shared with JaxPlacer via
+    HostStaging -- an n-chip data axis multiplies device throughput, so the
+    host side must not fall back to single-threaded pure-Python paths."""
 
     def __init__(
         self,
@@ -441,6 +444,9 @@ class ShardedJaxPlacer:
         self.alphabet = get_alphabet(db.sequence_type)
         self.k = db.kmer_size
         self.B = tree.get_node_count()
+        self._init_staging()
+        #: CSR budget-overflow re-dispatches (observability; tests assert on it)
+        self.overflow_retries = 0
         self.eps = np.float32(score_threshold(db.omega, self.k, self.alphabet.sigma))
         self.log_eps = np.float32(np.log10(self.eps))
         num, tot = tree.tree_index()
@@ -490,30 +496,6 @@ class ShardedJaxPlacer:
             self._dev_row_off = jax.device_put(sdb.row_off, spec_m)
             self._seed1 = np.array([s[0] for s in sdb.seeds], dtype=np.uint32)
             self._seed2 = np.array([s[1] for s in sdb.seeds], dtype=np.uint32)
-
-    # -- host staging helpers ----------------------------------------------
-
-    def _host_rows(self, keys: np.ndarray) -> np.ndarray:
-        """keys -> dense plane row indices (binary search over the sorted
-        key array; misses map to the all-zero last row)."""
-        dbk = self.db.keys
-        n = dbk.shape[0]
-        if keys.size == 0:
-            return np.empty(0, np.int32)
-        idx = np.searchsorted(dbk, keys)
-        idx_c = np.minimum(idx, n - 1)
-        return np.where(dbk[idx_c] == keys, idx_c, n).astype(np.int32)
-
-    def _rows_matrix(self, keys, read, R: int, width: int):
-        zero_row = self.db.keys.shape[0]
-        M = np.full((R, width), zero_row, dtype=np.int32)
-        if keys.size:
-            rows = self._host_rows(keys)
-            counts = np.bincount(read, minlength=R)
-            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-            cols = np.arange(keys.shape[0]) - starts[read]
-            M[read, cols] = rows
-        return M
 
     def _padded_batch_geometry(self, R_true: int) -> int:
         """Per-data-shard read count, bucketed to bound the jit cache."""
@@ -568,7 +550,7 @@ class ShardedJaxPlacer:
             amb_mask = ((codes >= 0x80) & (codes != 0xFF)).any(axis=1)
             if amb_mask.any():
                 idxs = np.flatnonzero(amb_mask)
-                tok = tokenize_batch([seqs[i] for i in idxs], self.k, self.alphabet)
+                tok = self._tokenize([seqs[i] for i in idxs])
                 a_keys = tok.amb_keys
                 a_read = idxs[tok.amb_read] if a_keys.size else tok.amb_read
                 apr = int(np.bincount(a_read, minlength=R_tot).max()) if a_keys.size else 0
@@ -588,7 +570,7 @@ class ShardedJaxPlacer:
             return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
 
         # host tokenize + host lookup (any alphabet / k; also len<k batches)
-        tokens = tokenize_batch(seqs, self.k, self.alphabet)
+        tokens = self._tokenize(seqs)
         wpr = int(np.bincount(tokens.exact_read, minlength=R_tot).max()) if tokens.exact_read.size else 1
         apr = int(np.bincount(tokens.amb_read, minlength=R_tot).max()) if tokens.amb_read.size else 1
         Wmax = max(16, -(-wpr // 16) * 16)
@@ -621,7 +603,7 @@ class ShardedJaxPlacer:
         nd = self.n_data
 
         groups = [seqs[g * R_loc : (g + 1) * R_loc] for g in range(nd)]
-        toks = [tokenize_batch(g, self.k, self.alphabet) for g in groups]
+        toks = [self._tokenize(g) for g in groups]
         m_signed = np.concatenate(
             [t.seq_lengths - self.k + 1 for t in toks]
         ) if any(t.seq_lengths.size for t in toks) else np.empty(0, np.int64)
@@ -708,7 +690,10 @@ class ShardedJaxPlacer:
             if e_tot <= Pb and a_tot <= PAb:
                 break
             # budget overflow: grow the static bucket and re-dispatch the
-            # SAME already-stacked host arrays (no restaging)
+            # SAME already-stacked host arrays (no restaging).  The uniform
+            # Pb estimate assumes balanced posting mass across hash shards;
+            # a hot shard (skewed posting lengths) lands here.
+            self.overflow_retries += 1
             Pb = _bucket(int(e_tot), cfg.min_bucket) if e_tot > Pb else Pb
             PAb = _bucket(int(a_tot), cfg.min_bucket) if a_tot > PAb else PAb
             out = _sharded_csr_step(

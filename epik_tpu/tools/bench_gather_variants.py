@@ -41,19 +41,26 @@ def main() -> None:
     R, W = 2048, 160
 
     rng = np.random.default_rng(0)
-    # ~12 nonzero postings per row like the bench DB
-    plane = np.zeros((N_ROWS, BW), np.float32)
-    nz_cols = rng.integers(0, 1303, size=(N_ROWS, 12))
-    vals = rng.uniform(0.5, 6.0, size=(N_ROWS, 12)).astype(np.float32)
-    plane[np.arange(N_ROWS)[:, None], nz_cols] = vals
-    plane[-1] = 0.0
+    # ~12 nonzero postings per row like the bench DB.  The plane is BUILT ON
+    # DEVICE from the postings (exactly like JaxPlacer) -- uploading a
+    # materialized 2.3 GB plane through the remote tunnel takes tens of
+    # minutes and can wedge entirely.
+    nz_rows = np.repeat(np.arange(N_ROWS - 1, dtype=np.int32), 12)
+    nz_cols = rng.integers(0, 1303, size=(N_ROWS - 1) * 12).astype(np.int32)
+    vals = rng.uniform(0.5, 6.0, size=(N_ROWS - 1) * 12).astype(np.float32)
     rows = rng.integers(0, N_ROWS - 1, size=(R, W)).astype(np.int32)
     # ~12% padding rows hit the zero row, like Wmax bucketing
     rows[:, 141:] = N_ROWS - 1
 
-    d_plane = jnp.asarray(plane)
+    @jax.jit
+    def build_plane(r, c, v):
+        return jnp.zeros((N_ROWS, BW), jnp.float32).at[r, c].set(v)
+
+    d_plane = build_plane(jnp.asarray(nz_rows), jnp.asarray(nz_cols), jnp.asarray(vals))
+    d_plane.block_until_ready()
+    log("plane built on device")
     d_rows = jnp.asarray(rows)
-    d_plane_bf16 = jnp.asarray(plane.astype(jnp.bfloat16))
+    d_plane_bf16 = d_plane.astype(jnp.bfloat16)
 
     useful_gb = R * W * BW * 4 / 1e9
 

@@ -141,3 +141,90 @@ class TestShardedDense:
         mesh = make_mesh(n_data=4, n_model=2)
         sharded = ShardedJaxPlacer(db, tree, mesh)
         assert sharded._dense_db  # small fixture always fits
+
+
+def test_hot_shard_overflow_retry():
+    """A skewed hash shard must overflow the uniform Pb budget, re-dispatch,
+    and still match the oracle (VERDICT round-2 item 7).
+
+    The CSR budget heuristic assumes posting mass is balanced across hash
+    shards (Pb ~ E * est / n_model, sharding.py); this fixture concentrates
+    128-entry posting lists on one shard's keys while every other key has a
+    single posting, and the reads' windows hit ONLY hot keys.
+    """
+    from epik_tpu.engine.placer import PlacerConfig
+    from epik_tpu.io.db import PhyloKmerDB
+    from epik_tpu.parallel.sharding import _shard_of_key
+
+    n_model = 4
+    base = random_db(num_leaves=80, kmer_size=6, num_kmers=64, seed=77)
+    rng = np.random.default_rng(78)
+    B = parse_newick(base.tree()).get_node_count()
+
+    keys = base.keys  # sorted unique 6-mer codes
+    shard = _shard_of_key(keys, n_model)
+    # ONE giant posting list: keeps avg_plen (and thus the uniform Pb
+    # estimate) small while its owner shard carries ~50x the average mass
+    hot = np.zeros(keys.shape[0], bool)
+    hot[int(np.flatnonzero(shard == 0)[0])] = True
+    lens = np.where(hot, min(B, 150), 1).astype(np.int64)
+    row_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    total = int(row_off[-1])
+    # unique branches within each posting list (the scalar accumulation
+    # never sees duplicate branches per key in real DBs)
+    branches = np.concatenate(
+        [rng.permutation(B)[: n].astype(np.uint32) for n in lens]
+    )
+    db = PhyloKmerDB(
+        sequence_type="nucl", kmer_size=6, omega=base.omega,
+        tree_newick=base.tree_newick, keys=keys, row_off=row_off,
+        branches=branches,
+        scores=rng.uniform(-3.5, -0.5, size=total).astype(np.float32),
+        version=base.version, num_entries_total=total,
+        num_entries_loaded=total,
+    )
+    db.validate()
+
+    hot_keys = keys[hot]
+    recs = []
+    for i in range(12):
+        parts = [
+            DNA.decode_key(int(hot_keys[rng.integers(hot_keys.shape[0])]), 6)
+            for _ in range(4)
+        ]
+        recs.append((f"hot{i}", "".join(parts).encode()))
+
+    tree = parse_newick(db.tree())
+    mesh = make_mesh(n_data=2, n_model=n_model)
+    sharded = ShardedJaxPlacer(db, tree, mesh, config=PlacerConfig(dense_db="off"))
+    assert not sharded._dense_db
+    ref = ReferencePlacer(db, tree)
+    assert_equivalent(ref.place(recs), sharded.place(recs))
+    assert sharded.overflow_retries > 0, (
+        "fixture failed to overflow the uniform shard budget"
+    )
+
+
+def test_sharded_pipeline_inflight(tmp_path):
+    """run_pipeline drives ShardedJaxPlacer with inflight > 1 and the output
+    matches the oracle-driven pipeline (VERDICT round-2 item 6)."""
+    from test_pipeline import _ListReader, _write
+
+    from epik_tpu.core.tree import to_newick
+    from epik_tpu.engine.placer import PlacerConfig
+    from epik_tpu.tools.jplace_diff import jplace_diff
+
+    db = random_db(num_leaves=16, kmer_size=6, num_kmers=1024, seed=91)
+    tree = parse_newick(db.tree())
+    nwk = to_newick(tree, jplace_edges=True)
+    reads = random_reads(60, length=30, seed=92, ambig_rate=0.05)
+    batches = [reads[i : i + 16] for i in range(0, 60, 16)]
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = PlacerConfig(host_threads=2)
+    sharded = ShardedJaxPlacer(db, tree, mesh, config=cfg)
+    s1 = _write(sharded, batches, tmp_path / "s.jplace", nwk)
+    s2 = _write(ReferencePlacer(db, tree), batches, tmp_path / "r.jplace", nwk)
+    assert s1.num_seq_placed == s2.num_seq_placed == 60
+    res = jplace_diff(str(tmp_path / "s.jplace"), str(tmp_path / "r.jplace"))
+    assert res.clean, res.mismatches[:3]
