@@ -84,11 +84,15 @@ def main() -> None:
     log(f"reads ready ({time.time()-t0:.1f}s)")
 
     # all host CPUs for the (rare) host-side stages; the device-tokenize
-    # fast path does tokenization + lookup on chip
-    cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2))
+    # fast path does tokenization + lookup on chip.  plane_mode selectable
+    # for A/B runs (EPIK_BENCH_PLANE=classic|shifted).
+    plane_mode = os.environ.get("EPIK_BENCH_PLANE", "shifted")
+    cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2),
+                       plane_mode=plane_mode)
     placer = JaxPlacer(db, tree, config=cfg)
     log(f"placer ready: fast_bytes={placer._fast_bytes} "
-        f"dense_db={placer._dense_db} ({time.time()-t0:.1f}s)")
+        f"dense_db={placer._dense_db} shifted={placer._shifted} "
+        f"({time.time()-t0:.1f}s)")
 
     # --- warmup (compile; persistent-cached across runs) -----------------------
     t_w = time.time()
@@ -148,17 +152,25 @@ def main() -> None:
         log(f"pass {i + 1}: tpu {tpu_rates[-1]:.0f} reads/s/chip | "
             f"baseline {base_rates[-1]:.0f} reads/s")
 
-    rps = max(tpu_rates)
+    best = max(tpu_rates)
     base_rps = max(base_rates)
     med = sorted(tpu_rates)[len(tpu_rates) // 2]
-    log(f"tpu best {rps:.0f} median {med:.0f} reads/s/chip | "
-        f"baseline best {base_rps:.0f} reads/s (C++ single thread)")
+    base_med = sorted(base_rates)[len(base_rates) // 2]
+    log(f"tpu median {med:.0f} best {best:.0f} reads/s/chip | "
+        f"baseline median {base_med:.0f} best {base_rps:.0f} reads/s "
+        f"(C++ single thread)")
 
+    # headline = MEDIAN (the honest number on a noisy shared host); the
+    # best-of pass is reported alongside as the ceiling
     print(json.dumps({
         "metric": "reads_placed_per_sec_per_chip",
-        "value": round(rps, 1),
+        "value": round(med, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / base_rps, 2),
+        "vs_baseline": round(med / base_med, 2),
+        "best": round(best, 1),
+        "best_vs_baseline": round(best / base_rps, 2),
+        "passes": [round(r, 1) for r in tpu_rates],
+        "plane_mode": plane_mode,
     }))
 
 

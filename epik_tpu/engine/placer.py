@@ -105,6 +105,21 @@ class PlacerConfig:
     #: ambiguity stream on the host (the rare path).  "host" forces the
     #: classic host tokenizer; "auto" = device when supported.
     tokenize_where: str = "auto"
+    #: dense-plane scoring formulation:
+    #: * "classic" -- plane holds the stored log10 scores; the device derives
+    #:   per-branch counts C from the same gather (``g != 0``) and computes
+    #:   corrected = (S + (m - C) * log_eps) / k.  Exact per-branch counts
+    #:   come out for free in the results.
+    #: * "shifted" -- plane holds s - log10(eps) (> 0 where present, 0
+    #:   absent), so the count term cancels algebraically:
+    #:   corrected = (S' + m * log_eps) / k with S' the plain row sum, and
+    #:   touched == S' > 0.  The per-window count reduce disappears
+    #:   entirely -- the hot loop is ONE gather + ONE reduce.  Scores stay
+    #:   within ~1e-5 log10 units of classic (each stored cell rounds
+    #:   s - log_eps once to f32), far inside the 1e-4 probability-space
+    #:   parity gate; per-branch counts are NOT computed (reported as -1;
+    #:   the jplace format never serializes counts, jplace.cpp:121-140).
+    plane_mode: str = "classic"
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -293,20 +308,15 @@ def accumulate_amb_firsthit(table, db_postings, row_off, a_hi, a_lo, a_read,
     return first[:R], V[:R], a_total
 
 
-def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
-    """Correction + LWR + top-k on the merged (R, B) score/count matrices."""
+def _lwr_topk(corrected, touched, m_f32, C, *, B, K, k, log_eps):
+    """Shared LWR + top-k tail over the per-(read, branch) corrected scores.
+
+    ``C`` supplies per-branch counts for the top-k rows; None reports -1
+    (the shifted-plane path never materializes counts; counts are not part
+    of the jplace format, reference: jplace.cpp:121-140)."""
     f32 = jnp.float32
     log_eps = f32(log_eps)
-    touched = C > 0
-
-    # ---- score correction (place.cpp:417-422) --------------------------------
-    diff = m_f32[:, None] - C.astype(f32)
-    # size_t wraparound emulation: C > m only happens via ambiguity fan-out;
-    # float32(2**64 - small) == float32(2**64) (quirk Q1 family)
-    diff = jnp.where(diff < 0, f32(_U64), diff)
-    corrected = (S + diff * log_eps) / f32(k)
     neg_inf = f32(-jnp.inf)
-    corrected = jnp.where(touched, corrected, neg_inf)
 
     # ---- LWR normalization over ALL branches (quirk Q4) ----------------------
     n = jnp.sum(touched, axis=1).astype(jnp.int32)
@@ -327,7 +337,10 @@ def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
 
     # ---- top-k ---------------------------------------------------------------
     topk_scores, topk_idx = jax.lax.top_k(corrected, K)
-    topk_counts = jnp.take_along_axis(C, topk_idx, axis=1)
+    if C is None:
+        topk_counts = jnp.full(topk_idx.shape, -1, jnp.int32)
+    else:
+        topk_counts = jnp.take_along_axis(C, topk_idx, axis=1)
     wr = jnp.exp((topk_scores - log_sum[:, None]) * ln10)
     wr = jnp.where(zero_sum[:, None] | (topk_scores < f32(_POW10_ZERO)), 0.0, wr)
     return (
@@ -338,6 +351,37 @@ def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
         n,
         zero_sum,
     )
+
+
+def finish_scores(S, C, m_f32, *, B, K, k, log_eps):
+    """Correction + LWR + top-k on the merged (R, B) score/count matrices."""
+    f32 = jnp.float32
+    log_eps = f32(log_eps)
+    touched = C > 0
+
+    # ---- score correction (place.cpp:417-422) --------------------------------
+    diff = m_f32[:, None] - C.astype(f32)
+    # size_t wraparound emulation: C > m only happens via ambiguity fan-out;
+    # float32(2**64 - small) == float32(2**64) (quirk Q1 family)
+    diff = jnp.where(diff < 0, f32(_U64), diff)
+    corrected = (S + diff * log_eps) / f32(k)
+    corrected = jnp.where(touched, corrected, f32(-jnp.inf))
+    return _lwr_topk(corrected, touched, m_f32, C, B=B, K=K, k=k, log_eps=log_eps)
+
+
+def finish_scores_shifted(Sp, m_f32, *, B, K, k, log_eps):
+    """Correction + LWR + top-k from the SHIFTED row sums S' = S - C*log_eps.
+
+    With the plane holding s - log10(eps) per present cell the count term of
+    the correction cancels: corrected = (S' + m*log_eps)/k, and touched is
+    simply S' > 0 (every shifted cell is > 0 by construction).  Per-branch
+    counts are never materialized (reported as -1)."""
+    f32 = jnp.float32
+    log_eps = f32(log_eps)
+    touched = Sp > 0
+    corrected = (Sp + m_f32[:, None] * log_eps) / f32(k)
+    corrected = jnp.where(touched, corrected, f32(-jnp.inf))
+    return _lwr_topk(corrected, touched, m_f32, None, B=B, K=K, k=k, log_eps=log_eps)
 
 
 @functools.partial(
@@ -410,7 +454,8 @@ def _place_batch_device_densedb(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "pallas_rows", "interpret"),
+    static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "pallas_rows",
+                     "shifted", "interpret"),
 )
 def _place_batch_dense_rows(
     plane_s,
@@ -427,6 +472,7 @@ def _place_batch_dense_rows(
     log_eps,
     eps,
     pallas_rows: bool = False,
+    shifted: bool = False,
     interpret: bool = False,
 ):
     """Dense-database step with HOST-side key lookup.
@@ -442,18 +488,21 @@ def _place_batch_dense_rows(
     ``Amax == 0`` (a batch with no ambiguous windows -- the common case for
     real DNA reads) statically elides the whole ambiguity stage.
     """
+    if shifted:
+        Sp = dense_sums_shifted(plane_s, rows, R=R, B=B, Wmax=Wmax)
+        if Amax > 0:
+            Sp, _ = _apply_amb(Sp, None, plane_s, arows, R=R, B=B, Amax=Amax,
+                               k=k, eps=eps, log_eps=log_eps, shifted=True)
+        outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+        zero = jnp.int32(0)
+        return _pack_outputs(outs, zero, zero)
     S, C = dense_sums_from_rows(
         plane_s, rows, R=R, B=B, Wmax=Wmax,
         pallas_rows=pallas_rows, interpret=interpret,
     )
     if Amax > 0:
-        first, sel_score = dense_amb_from_rows(plane_s, arows, R=R, B=B, Amax=Amax)
-        hit = first < _ORDER_INF
-        f32 = jnp.float32
-        pow10 = jnp.exp(sel_score * f32(math.log(10.0)))
-        V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
-        S = S + jnp.where(hit, V, 0.0)
-        C = C + hit.astype(jnp.int32)
+        S, C = _apply_amb(S, C, plane_s, arows, R=R, B=B, Amax=Amax,
+                          k=k, eps=eps, log_eps=log_eps, shifted=False)
 
     zero = jnp.int32(0)
     outs = finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
@@ -464,7 +513,7 @@ def _place_batch_dense_rows(
     jax.jit,
     static_argnames=(
         "R", "B", "K", "Amax", "k", "Lmax", "num_kmers",
-        "pallas_rows", "interpret",
+        "pallas_rows", "shifted", "interpret",
     ),
 )
 def _place_batch_dense_bytes(
@@ -483,6 +532,7 @@ def _place_batch_dense_bytes(
     log_eps,
     eps,
     pallas_rows: bool = False,
+    shifted: bool = False,
     interpret: bool = False,
 ):
     """Dense-database step with ON-DEVICE tokenization (the fastest path).
@@ -511,18 +561,21 @@ def _place_batch_dense_bytes(
     W = rows.shape[1]
     Wp = -(-W // 16) * 16  # chunked-gather (w_ch=16) / pallas width contract
     rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=num_kmers)
+    if shifted:
+        Sp = dense_sums_shifted(plane_s, rows, R=R, B=B, Wmax=Wp)
+        if Amax > 0:
+            Sp, _ = _apply_amb(Sp, None, plane_s, arows, R=R, B=B, Amax=Amax,
+                               k=k, eps=eps, log_eps=log_eps, shifted=True)
+        outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+        zero = jnp.int32(0)
+        return _pack_outputs(outs, zero, zero)
     S, C = dense_sums_from_rows(
         plane_s, rows, R=R, B=B, Wmax=Wp,
         pallas_rows=pallas_rows, interpret=interpret,
     )
     if Amax > 0:
-        first, sel_score = dense_amb_from_rows(plane_s, arows, R=R, B=B, Amax=Amax)
-        hit = first < _ORDER_INF
-        f32 = jnp.float32
-        pow10 = jnp.exp(sel_score * f32(math.log(10.0)))
-        V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
-        S = S + jnp.where(hit, V, 0.0)
-        C = C + hit.astype(jnp.int32)
+        S, C = _apply_amb(S, C, plane_s, arows, R=R, B=B, Amax=Amax,
+                          k=k, eps=eps, log_eps=log_eps, shifted=False)
 
     zero = jnp.int32(0)
     outs = finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
@@ -591,6 +644,43 @@ def dense_sums_from_rows(plane_s, rows, *, R, B, Wmax, w_ch=16,
         (jnp.zeros((R, bw), f32), jnp.zeros((R, bw), i32)),
     )
     return S[:, :B], C[:, :B]
+
+
+def dense_sums_shifted(plane_p, rows, *, R, B, Wmax, w_ch=16):
+    """Single-reduce row-gather over the SHIFTED plane (plane_mode="shifted").
+
+    The plane holds s - log10(eps) (> 0 present, 0 absent), so ONE sum per
+    window chunk carries everything the correction needs -- the per-window
+    count reduce of :func:`dense_sums_from_rows` disappears entirely.
+    """
+    f32 = jnp.float32
+    W_CH = min(w_ch, Wmax)
+    bw = plane_p.shape[1]
+
+    def w_body(i, Sp):
+        chunk = jax.lax.dynamic_slice(rows, (0, i * W_CH), (R, W_CH))
+        return Sp + jnp.sum(plane_p[chunk].astype(f32), axis=1)
+
+    Sp = jax.lax.fori_loop(0, Wmax // W_CH, w_body, jnp.zeros((R, bw), f32))
+    return Sp[:, :B]
+
+
+def _apply_amb(S, C, plane_s, arows, *, R, B, Amax, k, eps, log_eps, shifted):
+    """Fold the ambiguous first-hit contribution (quirks Q6/Q7) into (S, C).
+
+    ``shifted``: the plane holds s - log10(eps); the stored score is
+    recovered as sel + log_eps and the contribution lands shifted too
+    (V - log_eps), preserving S' = S - C*log_eps.
+    """
+    first, sel = dense_amb_from_rows(plane_s, arows, R=R, B=B, Amax=Amax)
+    hit = first < _ORDER_INF
+    f32 = jnp.float32
+    s = sel + f32(log_eps) if shifted else sel
+    pow10 = jnp.exp(s * f32(math.log(10.0)))
+    V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
+    if shifted:
+        return S + jnp.where(hit, V - f32(log_eps), 0.0), None
+    return S + jnp.where(hit, V, 0.0), C + hit.astype(jnp.int32)
 
 
 def dense_amb_firsthit(table, plane_s, a_hi, a_lo, *, R, B, Amax,
@@ -964,18 +1054,44 @@ class JaxPlacer(HostStaging):
             direct = np.full(4**self.k, n_keys, dtype=np.int32)
             direct[db.keys.astype(np.int64)] = np.arange(n_keys, dtype=np.int32)
             self._dev_direct = jnp.asarray(direct)
+        # shifted plane: single-reduce scoring (see PlacerConfig.plane_mode);
+        # only meaningful for the dense f32 paths
+        # validity: the count term only cancels when every stored score is
+        # >= log10(eps) -- guaranteed for databases loaded through the
+        # omega-threshold contract (io/db.py::build_filtered, quirk Q10) but
+        # not for hand-built fixtures, so it is checked, not assumed
+        self._shifted = (
+            self._dense_db
+            and self.config.plane_mode == "shifted"
+            and self.config.precision == "exact"
+            and not self._pallas_rows
+            and self._host_lookup  # device-cuckoo dense path stays classic
+            and (db.scores.size == 0
+                 or float(db.scores.min()) >= float(self.log_eps))
+        )
         if self._dense_db:
             rows_per_posting = np.repeat(
                 np.arange(n_keys, dtype=np.int32), lens.astype(np.int64)
             )
             br = db.branches.astype(np.int32)
-            # presence is encoded as nonzero: nudge exact-0.0 stored scores
-            # (P == 1) to a tiny NORMAL negative float32 -- a subnormal
-            # nudge (np.nextafter from float64) underflows to -0.0 and TPUs
-            # flush subnormals anyway, which would drop the branch entirely
-            sc = np.where(
-                db.scores == 0.0, np.float32(-1e-37), db.scores
-            ).astype(np.float32)
+            if self._shifted:
+                # plane holds s - log10(eps) -- strictly positive where a
+                # branch is present (stored scores >= log_eps); cells that
+                # would round to 0 get a tiny NORMAL positive nudge so
+                # presence stays "> 0" (TPUs flush subnormals)
+                sp = (db.scores.astype(np.float64) - float(self.log_eps)).astype(
+                    np.float32
+                )
+                sc = np.where(sp <= 0.0, np.float32(1e-37), sp)
+            else:
+                # presence is encoded as nonzero: nudge exact-0.0 stored
+                # scores (P == 1) to a tiny NORMAL negative float32 -- a
+                # subnormal nudge (np.nextafter from float64) underflows to
+                # -0.0 and TPUs flush subnormals anyway, which would drop
+                # the branch entirely
+                sc = np.where(
+                    db.scores == 0.0, np.float32(-1e-37), db.scores
+                ).astype(np.float32)
             # rows padded to a 128 multiple: aligned row gathers are ~6%
             # faster and the padding columns read as zeros
             self._plane_w = -(-self.B // 128) * 128
@@ -1114,7 +1230,8 @@ class JaxPlacer(HostStaging):
                     jnp.asarray(rows), jnp.asarray(arows), jnp.asarray(m_f32),
                     R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,
                     log_eps=float(self.log_eps), eps=float(self.eps),
-                    pallas_rows=self._pallas_rows, interpret=self._interpret,
+                    pallas_rows=self._pallas_rows, shifted=self._shifted,
+                    interpret=self._interpret,
                 )
                 return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
             Amax = _bucket(apr, 8)
@@ -1226,7 +1343,8 @@ class JaxPlacer(HostStaging):
             R=R, B=self.B, K=K, Amax=Amax, k=self.k, Lmax=Lmax,
             num_kmers=self.db.num_kmers,
             log_eps=float(self.log_eps), eps=float(self.eps),
-            pallas_rows=self._pallas_rows, interpret=self._interpret,
+            pallas_rows=self._pallas_rows, shifted=self._shifted,
+            interpret=self._interpret,
         )
         arrays = (
             self._plane_s, self._dev_direct, jnp.asarray(buf), jnp.asarray(arows),
@@ -1341,7 +1459,8 @@ class JaxPlacer(HostStaging):
                 R=R, B=self.B, K=min(cfg.keep_at_most, self.B),
                 Wmax=Wmax, Amax=Amax, k=self.k,
                 log_eps=float(self.log_eps), eps=float(self.eps),
-                pallas_rows=self._pallas_rows, interpret=self._interpret,
+                pallas_rows=self._pallas_rows, shifted=self._shifted,
+                interpret=self._interpret,
             )
             args = (
                 self._plane_s, jnp.asarray(rows), jnp.asarray(arows),
