@@ -82,12 +82,6 @@ class PlacerConfig:
     #: always unchanged but log-likelihoods drift beyond the 1e-4 parity
     #: tolerance, so this is opt-in
     precision: str = "exact"
-    #: dense-plane row gather: "xla" = chunked XLA gather (measured ~125-150
-    #: GiB/s on v5e at w_ch=32 -- the fastest path; see
-    #: tools/bench_rowgather.py), "pallas" = pipelined-DMA Pallas kernel
-    #: (~80 GiB/s: row DMAs are scalar-core issue-bound at ~66 ns each),
-    #: "auto" = xla
-    dense_gather: str = "auto"
     #: key->row lookup placement for the dense single-device path: "host"
     #: resolves keys with a threaded binary search over the sorted key array
     #: on the CPU (overlapped with device compute by the double-buffered
@@ -387,8 +381,7 @@ def finish_scores_shifted(Sp, m_f32, *, B, K, k, log_eps):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "R", "B", "K", "Wmax", "Amax", "k", "seed1", "seed2", "pallas_rows",
-        "interpret",
+        "R", "B", "K", "Wmax", "Amax", "k", "seed1", "seed2", "interpret",
     ),
 )
 def _place_batch_device_densedb(
@@ -410,7 +403,6 @@ def _place_batch_device_densedb(
     seed2: int,
     log_eps,
     eps,
-    pallas_rows: bool = False,
     interpret: bool = False,
 ):
     """Dense-database placement step: the bandwidth-optimal TPU layout.
@@ -433,8 +425,7 @@ def _place_batch_device_densedb(
     """
     S, C = dense_exact_sums(
         table, plane_s, e_hi, e_lo, R=R, B=B, Wmax=Wmax,
-        seed1=seed1, seed2=seed2, pallas_rows=pallas_rows,
-        interpret=interpret,
+        seed1=seed1, seed2=seed2,
     )
     first, sel_score = dense_amb_firsthit(
         table, plane_s, a_hi, a_lo, R=R, B=B, Amax=Amax,
@@ -454,8 +445,8 @@ def _place_batch_device_densedb(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "pallas_rows",
-                     "shifted", "interpret"),
+    static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "shifted",
+                     "interpret"),
 )
 def _place_batch_dense_rows(
     plane_s,
@@ -471,7 +462,6 @@ def _place_batch_dense_rows(
     k: int,
     log_eps,
     eps,
-    pallas_rows: bool = False,
     shifted: bool = False,
     interpret: bool = False,
 ):
@@ -496,10 +486,7 @@ def _place_batch_dense_rows(
         outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
         zero = jnp.int32(0)
         return _pack_outputs(outs, zero, zero)
-    S, C = dense_sums_from_rows(
-        plane_s, rows, R=R, B=B, Wmax=Wmax,
-        pallas_rows=pallas_rows, interpret=interpret,
-    )
+    S, C = dense_sums_from_rows(plane_s, rows, R=R, B=B, Wmax=Wmax)
     if Amax > 0:
         S, C = _apply_amb(S, C, plane_s, arows, R=R, B=B, Amax=Amax,
                           k=k, eps=eps, log_eps=log_eps, shifted=False)
@@ -513,7 +500,7 @@ def _place_batch_dense_rows(
     jax.jit,
     static_argnames=(
         "R", "B", "K", "Amax", "k", "Lmax", "num_kmers",
-        "pallas_rows", "shifted", "interpret",
+        "shifted", "interpret",
     ),
 )
 def _place_batch_dense_bytes(
@@ -531,7 +518,6 @@ def _place_batch_dense_bytes(
     num_kmers: int,
     log_eps,
     eps,
-    pallas_rows: bool = False,
     shifted: bool = False,
     interpret: bool = False,
 ):
@@ -569,10 +555,7 @@ def _place_batch_dense_bytes(
         outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
         zero = jnp.int32(0)
         return _pack_outputs(outs, zero, zero)
-    S, C = dense_sums_from_rows(
-        plane_s, rows, R=R, B=B, Wmax=Wp,
-        pallas_rows=pallas_rows, interpret=interpret,
-    )
+    S, C = dense_sums_from_rows(plane_s, rows, R=R, B=B, Wmax=Wp)
     if Amax > 0:
         S, C = _apply_amb(S, C, plane_s, arows, R=R, B=B, Amax=Amax,
                           k=k, eps=eps, log_eps=log_eps, shifted=False)
@@ -583,7 +566,7 @@ def _place_batch_dense_bytes(
 
 
 def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
-                     w_ch=16, pallas_rows=False, interpret=False):
+                     w_ch=16):
     """Per-read (S, C) sums from the dense score plane (shard-composable:
     psum both).
 
@@ -592,39 +575,26 @@ def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
     exactly 0.0 (P(kmer|branch) == 1) are nudged to the smallest negative
     subnormal at plane build, which is far below every tolerance.  This
     halves the gather traffic versus a separate indicator plane.
-
-    ``pallas_rows`` routes the row gather through the pipelined-DMA Pallas
-    kernel (ops/pallas/rowgather.py); results are bit-identical (same rows,
-    same summation order).  Measured on a v5e the chunked XLA gather below
-    is the faster path (~125-150 GiB/s vs ~80; tools/bench_rowgather.py),
-    so it is the default.
     """
     i32 = jnp.int32
     zero_row = plane_s.shape[0] - 1
     found, row, _ = lookup(table, seed1, seed2, e_hi.reshape(-1), e_lo.reshape(-1))
     rows = jnp.where(found, row.astype(i32), i32(zero_row)).reshape(R, Wmax)
-    return dense_sums_from_rows(
-        plane_s, rows, R=R, B=B, Wmax=Wmax, w_ch=w_ch,
-        pallas_rows=pallas_rows, interpret=interpret,
-    )
+    return dense_sums_from_rows(plane_s, rows, R=R, B=B, Wmax=Wmax, w_ch=w_ch)
 
 
-def dense_sums_from_rows(plane_s, rows, *, R, B, Wmax, w_ch=16,
-                         pallas_rows=False, interpret=False):
+def dense_sums_from_rows(plane_s, rows, *, R, B, Wmax, w_ch=16):
     """Chunked row-gather + reduce given precomputed plane row indices
-    (misses / padding = the all-zero last row)."""
+    (misses / padding = the all-zero last row).
+
+    The chunked XLA dynamic-gather is the measured winner on v5e
+    (~125-150 GiB/s at w_ch 16-32).  A pipelined-DMA Pallas row-gather
+    kernel was built and benchmarked against it in rounds 1-2 and LOST --
+    per-row DMAs issue from the scalar core at ~66 ns each, capping 5.6 KB
+    rows at ~80 GiB/s -- so it was retired (git history:
+    epik_tpu/ops/pallas/rowgather.py, tools/bench_rowgather.py)."""
     f32 = jnp.float32
     i32 = jnp.int32
-    zero_row = plane_s.shape[0] - 1
-
-    if pallas_rows:
-        from ..ops.pallas.rowgather import GATHER_TR, gather_sums
-
-        r_pad = -(-R // GATHER_TR) * GATHER_TR
-        rows_p = jnp.pad(rows, ((0, r_pad - R), (0, 0)),
-                         constant_values=zero_row)
-        S, C = gather_sums(plane_s, rows_p, interpret=interpret)
-        return S[:R, :B], C[:R, :B].astype(i32)
 
     # chunked row-gather + reduce keeps the (R, chunk, B) working set small
     W_CH = min(w_ch, Wmax)
@@ -1032,12 +1002,6 @@ class JaxPlacer(HostStaging):
             and mode == "auto"
             and plane_bytes <= self.config.dense_db_budget
         )
-        # dense-plane row gather: the chunked XLA gather wins on v5e
-        # (~125-150 GiB/s vs ~80 for the pipelined-DMA Pallas kernel, which
-        # is scalar-core DMA-issue bound); "pallas" keeps the kernel
-        # selectable.  Both paths are bit-identical.
-        dg = self.config.dense_gather
-        self._pallas_rows = self._dense_db and dg == "pallas"
         self._host_lookup = (
             self._dense_db and self.config.lookup_where in ("auto", "host")
         )
@@ -1064,7 +1028,6 @@ class JaxPlacer(HostStaging):
             self._dense_db
             and self.config.plane_mode == "shifted"
             and self.config.precision == "exact"
-            and not self._pallas_rows
             and self._host_lookup  # device-cuckoo dense path stays classic
             and (db.scores.size == 0
                  or float(db.scores.min()) >= float(self.log_eps))
@@ -1230,8 +1193,7 @@ class JaxPlacer(HostStaging):
                     jnp.asarray(rows), jnp.asarray(arows), jnp.asarray(m_f32),
                     R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,
                     log_eps=float(self.log_eps), eps=float(self.eps),
-                    pallas_rows=self._pallas_rows, shifted=self._shifted,
-                    interpret=self._interpret,
+                    shifted=self._shifted, interpret=self._interpret,
                 )
                 return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
             Amax = _bucket(apr, 8)
@@ -1244,7 +1206,7 @@ class JaxPlacer(HostStaging):
                 R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,
                 seed1=self.table.seed1, seed2=self.table.seed2,
                 log_eps=float(self.log_eps), eps=float(self.eps),
-                pallas_rows=self._pallas_rows, interpret=self._interpret,
+                interpret=self._interpret,
             )
             return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
 
@@ -1343,8 +1305,7 @@ class JaxPlacer(HostStaging):
             R=R, B=self.B, K=K, Amax=Amax, k=self.k, Lmax=Lmax,
             num_kmers=self.db.num_kmers,
             log_eps=float(self.log_eps), eps=float(self.eps),
-            pallas_rows=self._pallas_rows, shifted=self._shifted,
-            interpret=self._interpret,
+            shifted=self._shifted, interpret=self._interpret,
         )
         arrays = (
             self._plane_s, self._dev_direct, jnp.asarray(buf), jnp.asarray(arows),
@@ -1459,8 +1420,7 @@ class JaxPlacer(HostStaging):
                 R=R, B=self.B, K=min(cfg.keep_at_most, self.B),
                 Wmax=Wmax, Amax=Amax, k=self.k,
                 log_eps=float(self.log_eps), eps=float(self.eps),
-                pallas_rows=self._pallas_rows, shifted=self._shifted,
-                interpret=self._interpret,
+                shifted=self._shifted, interpret=self._interpret,
             )
             args = (
                 self._plane_s, jnp.asarray(rows), jnp.asarray(arows),

@@ -48,6 +48,7 @@ from ..core.tree import PhyloTree
 from ..engine.placer import (
     HostStaging,
     _ORDER_INF,
+    _apply_amb,
     _POW10_ZERO,
     _U64,
     PlacerConfig,
@@ -59,6 +60,7 @@ from ..engine.placer import (
     assemble_arrays,
     dense_amb_from_rows,
     dense_sums_from_rows,
+    dense_sums_shifted,
     device_tokenize_packed,
     finish_scores,
     pack_reads,
@@ -91,7 +93,8 @@ def _shard_of_key(keys: np.ndarray, n_shards: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def shard_db_columns(db: PhyloKmerDB, n_model: int, num_branches: int):
+def shard_db_columns(db: PhyloKmerDB, n_model: int, num_branches: int,
+                     shifted: bool = False, log_eps: float = 0.0):
     """Column-sharded dense score planes: [n_model, n_keys+1, bwl] float32.
 
     Shard ``s`` owns global branch columns [s*bwl, (s+1)*bwl); ``bwl`` is
@@ -100,13 +103,20 @@ def shard_db_columns(db: PhyloKmerDB, n_model: int, num_branches: int):
     (P == 1) are nudged to a tiny normal negative float32 so presence stays
     ``!= 0`` (TPUs flush subnormals).  The last plane row is the all-zero
     miss row.  One vectorized scatter builds all shards.
+
+    ``shifted``: cells hold s - log10(eps) instead (> 0 present; the
+    single-reduce mode, engine/placer.py::PlacerConfig.plane_mode).
     """
     bwl = -(-num_branches // (128 * n_model)) * 128
     n_keys = db.num_kmers
     lens = np.diff(db.row_off)
     rows_pp = np.repeat(np.arange(n_keys, dtype=np.int64), lens.astype(np.int64))
     br = db.branches.astype(np.int64)
-    sc = np.where(db.scores == 0.0, np.float32(-1e-37), db.scores).astype(np.float32)
+    if shifted:
+        sp = (db.scores.astype(np.float64) - float(log_eps)).astype(np.float32)
+        sc = np.where(sp <= 0.0, np.float32(1e-37), sp)
+    else:
+        sc = np.where(db.scores == 0.0, np.float32(-1e-37), db.scores).astype(np.float32)
     shard = br // bwl
     planes = np.zeros((n_model, n_keys + 1, bwl), np.float32)
     planes[shard, rows_pp, br - shard * bwl] = sc
@@ -214,8 +224,29 @@ def finish_scores_cols(S, C, m_f32, *, B, K, k, log_eps):
     diff = m_f32[:, None] - C.astype(f32)
     diff = jnp.where(diff < 0, f32(_U64), diff)  # quirk Q1 family
     corrected = (S + diff * log_eps) / f32(k)
+    corrected = jnp.where(touched, corrected, f32(-jnp.inf))
+    return _lwr_topk_cols(corrected, touched, m_f32, C,
+                          B=B, K=K, k=k, log_eps=log_eps)
+
+
+def finish_scores_cols_shifted(Sp, m_f32, *, B, K, k, log_eps):
+    """Column-sharded finish from SHIFTED row sums S' = S - C*log_eps
+    (engine/placer.py::finish_scores_shifted, sharded analog).  Per-branch
+    counts are never materialized (reported as -1)."""
+    f32 = jnp.float32
+    log_eps = f32(log_eps)
+    touched = Sp > 0
+    corrected = (Sp + m_f32[:, None] * log_eps) / f32(k)
+    corrected = jnp.where(touched, corrected, f32(-jnp.inf))
+    return _lwr_topk_cols(corrected, touched, m_f32, None,
+                          B=B, K=K, k=k, log_eps=log_eps)
+
+
+def _lwr_topk_cols(corrected, touched, m_f32, C, *, B, K, k, log_eps):
+    """Shared column-sharded LWR + distributed top-k tail."""
+    f32 = jnp.float32
+    log_eps = f32(log_eps)
     neg_inf = f32(-jnp.inf)
-    corrected = jnp.where(touched, corrected, neg_inf)
 
     n = jax.lax.psum(jnp.sum(touched, axis=1).astype(jnp.int32), MODEL_AXIS)
     npl_exp = m_f32 * log_eps / f32(k)
@@ -232,10 +263,11 @@ def finish_scores_cols(S, C, m_f32, *, B, K, k, log_eps):
         (npl_exp < f32(_POW10_ZERO)) | (n_not <= 0)
     )
 
-    R, bwl = S.shape
+    R, bwl = corrected.shape
     Kl = min(K, bwl)
     s_l, i_l = jax.lax.top_k(corrected, Kl)
-    c_l = jnp.take_along_axis(C, i_l, axis=1)
+    c_l = (jnp.full(i_l.shape, -1, jnp.int32) if C is None
+           else jnp.take_along_axis(C, i_l, axis=1))
     col0 = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * jnp.int32(bwl)
     i_g = i_l.astype(jnp.int32) + col0
     cand_s = jax.lax.all_gather(s_l, MODEL_AXIS)  # (n_model, R, Kl)
@@ -258,33 +290,23 @@ def finish_scores_cols(S, C, m_f32, *, B, K, k, log_eps):
 # ---------------------------------------------------------------------------
 
 
-def _amb_add(S, C, plane, arows, *, R, bwl, Amax, k, eps):
-    """Local ambiguous first-hit contribution (quirks Q6/Q7).
-
-    Column sharding makes this collective-free: each branch column is owned
-    by exactly one shard, and the shard sees the full replicated key stream.
-    """
-    first, sel_score = dense_amb_from_rows(plane, arows, R=R, B=bwl, Amax=Amax)
-    hit = first < _ORDER_INF
-    f32 = jnp.float32
-    pow10 = jnp.exp(sel_score * f32(math.log(10.0)))
-    V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
-    S = S + jnp.where(hit, V, 0.0)
-    C = C + hit.astype(jnp.int32)
-    return S, C
+# Local ambiguous first-hit contribution (quirks Q6/Q7) is the shared
+# engine/placer.py::_apply_amb -- column sharding makes it collective-free:
+# each branch column is owned by exactly one shard, and the shard sees the
+# full replicated key stream.
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "mesh", "R", "B", "bwl", "K", "Amax", "k", "Lmax", "num_kmers",
-        "log_eps", "eps",
+        "log_eps", "eps", "shifted",
     ),
 )
 def _sharded_dense_bytes_step(
     plane_cols, direct, buf, arows, *,
     mesh, R: int, B: int, bwl: int, K: int, Amax: int, k: int, Lmax: int,
-    num_kmers: int, log_eps: float, eps: float,
+    num_kmers: int, log_eps: float, eps: float, shifted: bool = False,
 ):
     """Column-sharded dense step with ON-DEVICE tokenization.
 
@@ -307,10 +329,20 @@ def _sharded_dense_bytes_step(
         W = rows.shape[1]
         Wp = -(-W // 16) * 16  # chunked-gather width contract
         rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=num_kmers)
-        S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wp)
-        if Amax > 0:
-            S, C = _amb_add(S, C, plane, arows, R=R, bwl=bwl, Amax=Amax, k=k, eps=eps)
-        outs = finish_scores_cols(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+        if shifted:
+            Sp = dense_sums_shifted(plane, rows, R=R, B=bwl, Wmax=Wp)
+            if Amax > 0:
+                Sp, _ = _apply_amb(Sp, None, plane, arows, R=R, B=bwl,
+                                   Amax=Amax, k=k, eps=eps, log_eps=log_eps,
+                                   shifted=True)
+            outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
+                                              log_eps=log_eps)
+        else:
+            S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wp)
+            if Amax > 0:
+                S, C = _apply_amb(S, C, plane, arows, R=R, B=bwl, Amax=Amax,
+                                  k=k, eps=eps, log_eps=log_eps, shifted=False)
+            outs = finish_scores_cols(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
         zero = jnp.int32(0)
         return _pack_outputs(outs, zero, zero)[None]
 
@@ -326,22 +358,32 @@ def _sharded_dense_bytes_step(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "R", "B", "bwl", "K", "Wmax", "Amax", "k",
-                     "log_eps", "eps"),
+                     "log_eps", "eps", "shifted"),
 )
 def _sharded_dense_rows_step(
     plane_cols, rows, arows, m_f32, *,
     mesh, R: int, B: int, bwl: int, K: int, Wmax: int, Amax: int, k: int,
-    log_eps: float, eps: float,
+    log_eps: float, eps: float, shifted: bool = False,
 ):
     """Column-sharded dense step with HOST-side key->row lookup (any
     alphabet / k; the sharded analog of placer.py::_place_batch_dense_rows)."""
 
     def block(plane, rows, arows, m):
         plane = plane[0]
-        S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wmax)
-        if Amax > 0:
-            S, C = _amb_add(S, C, plane, arows, R=R, bwl=bwl, Amax=Amax, k=k, eps=eps)
-        outs = finish_scores_cols(S, C, m, B=B, K=K, k=k, log_eps=log_eps)
+        if shifted:
+            Sp = dense_sums_shifted(plane, rows, R=R, B=bwl, Wmax=Wmax)
+            if Amax > 0:
+                Sp, _ = _apply_amb(Sp, None, plane, arows, R=R, B=bwl,
+                                   Amax=Amax, k=k, eps=eps, log_eps=log_eps,
+                                   shifted=True)
+            outs = finish_scores_cols_shifted(Sp, m, B=B, K=K, k=k,
+                                              log_eps=log_eps)
+        else:
+            S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wmax)
+            if Amax > 0:
+                S, C = _apply_amb(S, C, plane, arows, R=R, B=bwl, Amax=Amax,
+                                  k=k, eps=eps, log_eps=log_eps, shifted=False)
+            outs = finish_scores_cols(S, C, m, B=B, K=K, k=k, log_eps=log_eps)
         zero = jnp.int32(0)
         return _pack_outputs(outs, zero, zero)[None]
 
@@ -468,8 +510,20 @@ class ShardedJaxPlacer(HostStaging):
         backend = jax.default_backend()
         self._interpret = backend != "tpu"
 
+        # shifted single-reduce mode: same validity guard as JaxPlacer
+        # (all stored scores >= log10(eps) -- the load contract, quirk Q10)
+        self._shifted = (
+            self._dense_db
+            and cfg.plane_mode == "shifted"
+            and cfg.precision == "exact"
+            and (db.scores.size == 0
+                 or float(db.scores.min()) >= float(self.log_eps))
+        )
         if self._dense_db:
-            planes, self._bwl = shard_db_columns(db, self.n_model, self.B)
+            planes, self._bwl = shard_db_columns(
+                db, self.n_model, self.B,
+                shifted=self._shifted, log_eps=float(self.log_eps),
+            )
             self._plane_cols = jax.device_put(
                 planes, NamedSharding(mesh, P(MODEL_AXIS))
             )
@@ -566,6 +620,7 @@ class ShardedJaxPlacer(HostStaging):
                 mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
                 Amax=Amax, k=self.k, Lmax=Lmax, num_kmers=self.db.num_kmers,
                 log_eps=float(self.log_eps), eps=float(self.eps),
+                shifted=self._shifted,
             )
             return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
 
@@ -589,6 +644,7 @@ class ShardedJaxPlacer(HostStaging):
             mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
             Wmax=Wmax, Amax=Amax, k=self.k,
             log_eps=float(self.log_eps), eps=float(self.eps),
+            shifted=self._shifted,
         )
         return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
 

@@ -9,7 +9,6 @@ W=160 window rows, plane (410k, 1408) f32) to pick the fastest formulation:
   c. chunk-width sweep for (b)
   d. one whole-batch gather, no fori_loop
   e. bf16 plane (traffic reference point only)
-  f. Pallas pipelined-DMA rowgather kernel on the adjusted plane
 
 Run: python -m epik_tpu.tools.bench_gather_variants
 """
@@ -126,15 +125,6 @@ def main() -> None:
                d_plane, d_rows)
     timeit("d. whole-batch gather+sum", whole, d_plane, d_rows)
     timeit("e. one-reduce bf16 w_ch=32", one_reduce, d_plane_bf16, d_rows)
-
-    # --- f. Pallas rowgather on adjusted plane ----------------------------------
-    try:
-        from epik_tpu.ops.pallas.rowgather import GATHER_TR, gather_sums
-
-        timeit("f. pallas rowgather (S+C)", functools.partial(gather_sums),
-               d_plane, d_rows)
-    except Exception as e:
-        log(f"pallas rowgather skipped: {e}")
 
 
 if __name__ == "__main__":

@@ -98,7 +98,7 @@ def main() -> None:
             placer._plane_s, d_rows, d_arows, d_m,
             R=R, B=placer.B, K=7, Wmax=Wmax, Amax=Amax, k=placer.k,
             log_eps=float(placer.log_eps), eps=float(placer.eps),
-            pallas_rows=False, interpret=placer._interpret,
+            interpret=placer._interpret,
         )
 
     out = step()

@@ -138,23 +138,6 @@ def main() -> None:
     dt = (time.time() - t) / 3
     log(f"xla flat take:        {dt*1000:6.1f} ms ({gb/dt:5.0f} GB/s)")
 
-    # pallas rowgather
-    try:
-        from epik_tpu.ops.pallas.rowgather import GATHER_TR, gather_sums
-
-        r_pad = -(-R // GATHER_TR) * GATHER_TR
-        rows_p = jnp.pad(rows, ((0, r_pad - R), (0, 0)), constant_values=n_rows - 1)
-        S, C = gather_sums(plane, rows_p)
-        S.block_until_ready()
-        t = time.time()
-        for _ in range(5):
-            S, C = gather_sums(plane, rows_p)
-            S.block_until_ready()
-        dt = (time.time() - t) / 5
-        log(f"pallas gather_sums:   {dt*1000:6.1f} ms ({gb/dt:5.0f} GB/s)")
-    except Exception as e:
-        log(f"pallas gather failed: {e}")
-
 
 if __name__ == "__main__":
     main()

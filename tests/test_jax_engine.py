@@ -511,54 +511,6 @@ class TestReviewRegressions:
         assert e_total == big and a_total == big + 1
 
 
-class TestPallasRowGather:
-    """Pipelined-DMA dense-plane row gather (interpret mode on CPU)."""
-
-    def test_gather_sums_kernel(self):
-        import jax.numpy as jnp
-
-        from epik_tpu.ops.pallas.rowgather import gather_sums
-
-        rng = np.random.default_rng(41)
-        NK, BW, R, W = 500, 256, 16, 24
-        plane = np.zeros((NK + 1, BW), np.float32)
-        nz = rng.integers(0, BW, size=(NK, 5))
-        plane[np.arange(NK)[:, None], nz] = (
-            rng.normal(size=(NK, 5)).astype(np.float32) - 3
-        )
-        rows = rng.integers(0, NK + 1, size=(R, W)).astype(np.int32)
-        S, C = gather_sums(jnp.asarray(plane), jnp.asarray(rows), interpret=True)
-        np.testing.assert_allclose(
-            np.asarray(S), plane[rows].sum(axis=1), rtol=1e-5, atol=1e-5
-        )
-        np.testing.assert_array_equal(
-            np.asarray(C), (plane[rows] != 0).sum(axis=1).astype(np.float32)
-        )
-
-    def test_placer_matches_oracle(self):
-        from epik_tpu.engine.placer import JaxPlacer, PlacerConfig
-
-        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=43)
-        tree = parse_newick(db.tree())
-        p = JaxPlacer(
-            db, tree, config=PlacerConfig(dense_db="on", dense_gather="pallas")
-        )
-        assert p._pallas_rows
-        ref = ReferencePlacer(db, tree)
-        rng = np.random.default_rng(44)
-        from epik_tpu.core.alphabet import DNA
-
-        recs = []
-        for i in range(12):
-            parts = [
-                DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
-                for _ in range(rng.integers(1, 8))
-            ]
-            recs.append((f"q{i}", "".join(parts).encode()))
-        recs += [("amb", b"ANGTCA" * 2), ("nohit", b"T" * 12), ("short", b"AC")]
-        assert_equivalent(ref.place(recs), p.place(recs))
-
-
 class TestShiftedPlane:
     """plane_mode="shifted": single-reduce scoring (counts reported as -1).
 

@@ -228,3 +228,19 @@ def test_sharded_pipeline_inflight(tmp_path):
     assert s1.num_seq_placed == s2.num_seq_placed == 60
     res = jplace_diff(str(tmp_path / "s.jplace"), str(tmp_path / "r.jplace"))
     assert res.clean, res.mismatches[:3]
+
+
+class TestShardedShifted:
+    """Column-sharded shifted-plane mode (single reduce; counts == -1)."""
+
+    @pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4)])
+    def test_shifted_matches_oracle(self, db, reads, n_data, n_model):
+        from epik_tpu.engine.placer import PlacerConfig
+
+        tree = parse_newick(db.tree())
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        cfg = PlacerConfig(dense_db="on", plane_mode="shifted")
+        sharded = ShardedJaxPlacer(db, tree, mesh, config=cfg)
+        assert sharded._shifted
+        ref = ReferencePlacer(db, tree)
+        assert_equivalent(ref.place(reads), sharded.place(reads))
