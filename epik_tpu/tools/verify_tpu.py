@@ -81,33 +81,57 @@ def main(argv=None) -> int:
         cases_passed += int(clean)
 
     # --- 300-read mixed case vs the scalar oracle ----------------------------
+    # every on-chip engine variant places the same mixed workload: the
+    # single-chip placer in both plane modes, and ShardedJaxPlacer on a 1x1
+    # mesh (its shard_map kernels on real hardware -- the only mesh shape
+    # one physical chip can pin)
+    from ..engine.placer import PlacerConfig
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharding import ShardedJaxPlacer
+
     db = random_db(num_leaves=128, kmer_size=8, num_kmers=30000, seed=77)
     tree = parse_newick(db.tree())
     reads = _mixed_case_reads(db)
     nwk = to_newick(tree, jplace_edges=True)
-    paths = []
-    for name, engine in (
+    mesh11 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    engines = [
         ("oracle", ReferencePlacer(db, tree)),
         ("jax", JaxPlacer(db, tree)),
-    ):
+        ("jax_shifted", JaxPlacer(db, tree,
+                                  config=PlacerConfig(plane_mode="shifted"))),
+        ("sharded_1x1", ShardedJaxPlacer(db, tree, mesh11)),
+    ]
+    paths = {}
+    for name, engine in engines:
         out = engine.place(reads)
         path = os.path.join(args.workdir, f"mixed_{name}.jplace")
         w = jplace_writer(path, f"verify_tpu mixed {name} ", nwk)
         w.start()
         w << out
         w.end()
-        paths.append(path)
-    res = jplace_diff(paths[0], paths[1])
-    print(f"mixed: {res.num_matches}/{res.num_seqs} match", file=sys.stderr)
+        paths[name] = path
+    mixed = {}
+    total_matched = 0
+    total_reads = 0
+    all_clean = True
+    for name in list(paths)[1:]:
+        res = jplace_diff(paths["oracle"], paths[name])
+        print(f"mixed {name}: {res.num_matches}/{res.num_seqs} match",
+              file=sys.stderr)
+        mixed[name] = {"matched": res.num_matches, "total": res.num_seqs}
+        total_matched += res.num_matches
+        total_reads += res.num_seqs
+        all_clean &= res.clean
 
-    ok = cases_passed == len(cases) and res.clean
+    ok = cases_passed == len(cases) and all_clean
     print(json.dumps({
         "verify": "tpu",
         "backend": backend,
         "cases_passed": cases_passed,
         "cases_total": len(cases),
-        "reads_matched": res.num_matches,
-        "reads_total": res.num_seqs,
+        "reads_matched": total_matched,
+        "reads_total": total_reads,
+        "mixed": mixed,
         "ok": ok,
     }))
     return 0 if ok else 1

@@ -586,3 +586,24 @@ class TestShiftedPlane:
         out_ref = ReferencePlacer(db, tree).place([("r", b"ACGT")])
         out_jax = p.place([("r", b"ACGT")])
         assert_equivalent(out_ref, out_jax)
+
+
+class TestClassicPlane:
+    """plane_mode="classic" (exact per-branch counts) stays oracle-matched
+    now that the default is shifted."""
+
+    def test_matches_oracle_mixed(self):
+        from epik_tpu.engine.placer import PlacerConfig
+
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=131)
+        tree = parse_newick(db.tree())
+        reads = random_reads(48, length=30, seed=132, ambig_rate=0.1)
+        reads += [("nohit", b"T" * 25), ("short", b"AC")]
+        cfg = PlacerConfig(plane_mode="classic", dense_db="on")
+        p = JaxPlacer(db, tree, config=cfg)
+        assert not p._shifted
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        out_jax = p.place(reads)
+        assert_equivalent(out_ref, out_jax)
+        counts = [q.count for ps in out_jax.placed_seqs for q in ps.placements]
+        assert counts and all(c >= 0 for c in counts)
