@@ -87,8 +87,9 @@ def main() -> None:
     # fast path does tokenization + lookup on chip.  plane_mode selectable
     # for A/B runs (EPIK_BENCH_PLANE=classic|shifted).
     plane_mode = os.environ.get("EPIK_BENCH_PLANE", "shifted")
+    precision = os.environ.get("EPIK_BENCH_PRECISION", "exact")
     cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2),
-                       plane_mode=plane_mode)
+                       plane_mode=plane_mode, precision=precision)
     placer = JaxPlacer(db, tree, config=cfg)
     log(f"placer ready: fast_bytes={placer._fast_bytes} "
         f"dense_db={placer._dense_db} shifted={placer._shifted} "
@@ -171,6 +172,7 @@ def main() -> None:
         "best_vs_baseline": round(best / base_rps, 2),
         "passes": [round(r, 1) for r in tpu_rates],
         "plane_mode": plane_mode,
+        "precision": precision,
     }))
 
 

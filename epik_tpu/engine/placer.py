@@ -80,7 +80,13 @@ class PlacerConfig:
     #: the scalar accumulation); "bf16" halves HBM gather traffic (~2x
     #: faster) at ~0.4% relative score error -- top-edge rankings are almost
     #: always unchanged but log-likelihoods drift beyond the 1e-4 parity
-    #: tolerance, so this is opt-in
+    #: tolerance, so it is opt-in; "int16" (requires/implies the shifted
+    #: plane) also halves gather traffic but quantizes s - log10(eps) onto
+    #: a uniform 32000-step grid instead: worst-case per-cell error is
+    #: (-log_eps)/64000 (~3.3e-5 log10 units at k=10 nucl defaults, ~150x
+    #: tighter than bf16's relative rounding), accumulation is EXACT int32
+    #: arithmetic, and one f32 divide at the end recovers log10 units --
+    #: measured parity-clean on the mixed verify gate where bf16 is not
     precision: str = "exact"
     #: key->row lookup placement for the dense single-device path: "host"
     #: resolves keys with a threaded binary search over the sorted key array
@@ -347,6 +353,7 @@ def _lwr_topk(corrected, touched, m_f32, C, *, B, K, k, log_eps):
         wr,
         n,
         zero_sum,
+        log_sum,
     )
 
 
@@ -449,7 +456,7 @@ def _place_batch_device_densedb(
 @functools.partial(
     jax.jit,
     static_argnames=("R", "B", "K", "Wmax", "Amax", "k", "shifted",
-                     "interpret"),
+                     "plane_scale", "interpret"),
 )
 def _place_batch_dense_rows(
     plane_s,
@@ -466,6 +473,7 @@ def _place_batch_dense_rows(
     log_eps,
     eps,
     shifted: bool = False,
+    plane_scale: float = 1.0,
     interpret: bool = False,
 ):
     """Dense-database step with HOST-side key lookup.
@@ -483,12 +491,14 @@ def _place_batch_dense_rows(
     """
     if shifted:
         Sp = dense_sums_shifted(plane_s, rows, R=R, B=B, Wmax=Wmax)
+        if plane_scale != 1.0:
+            Sp = Sp.astype(jnp.float32) / jnp.float32(plane_scale)
         if Amax > 0:
             Sp, _ = _apply_amb(Sp, None, plane_s, arows, R=R, B=B, Amax=Amax,
-                               k=k, eps=eps, log_eps=log_eps, shifted=True)
+                               k=k, eps=eps, log_eps=log_eps, shifted=True,
+                               plane_scale=plane_scale)
         outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
-        zero = jnp.int32(0)
-        return _pack_outputs(outs, zero, zero)
+        return _pack_outputs_slim(outs)
     S, C = dense_sums_from_rows(plane_s, rows, R=R, B=B, Wmax=Wmax)
     if Amax > 0:
         S, C = _apply_amb(S, C, plane_s, arows, R=R, B=B, Amax=Amax,
@@ -503,7 +513,7 @@ def _place_batch_dense_rows(
     jax.jit,
     static_argnames=(
         "R", "B", "K", "Amax", "k", "Lmax", "num_kmers",
-        "shifted", "interpret",
+        "shifted", "plane_scale", "interpret",
     ),
 )
 def _place_batch_dense_bytes(
@@ -522,6 +532,7 @@ def _place_batch_dense_bytes(
     log_eps,
     eps,
     shifted: bool = False,
+    plane_scale: float = 1.0,
     interpret: bool = False,
 ):
     """Dense-database step with ON-DEVICE tokenization (the fastest path).
@@ -552,12 +563,14 @@ def _place_batch_dense_bytes(
     rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=num_kmers)
     if shifted:
         Sp = dense_sums_shifted(plane_s, rows, R=R, B=B, Wmax=Wp)
+        if plane_scale != 1.0:
+            Sp = Sp.astype(jnp.float32) / jnp.float32(plane_scale)
         if Amax > 0:
             Sp, _ = _apply_amb(Sp, None, plane_s, arows, R=R, B=B, Amax=Amax,
-                               k=k, eps=eps, log_eps=log_eps, shifted=True)
+                               k=k, eps=eps, log_eps=log_eps, shifted=True,
+                               plane_scale=plane_scale)
         outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
-        zero = jnp.int32(0)
-        return _pack_outputs(outs, zero, zero)
+        return _pack_outputs_slim(outs)
     S, C = dense_sums_from_rows(plane_s, rows, R=R, B=B, Wmax=Wp)
     if Amax > 0:
         S, C = _apply_amb(S, C, plane_s, arows, R=R, B=B, Amax=Amax,
@@ -625,29 +638,39 @@ def dense_sums_shifted(plane_p, rows, *, R, B, Wmax, w_ch=16):
     The plane holds s - log10(eps) (> 0 present, 0 absent), so ONE sum per
     window chunk carries everything the correction needs -- the per-window
     count reduce of :func:`dense_sums_from_rows` disappears entirely.
+
+    An int16 plane (``precision="int16"``) holds quantized shifted values;
+    the accumulator switches to int32 (exact integer addition) and the
+    caller divides by the plane scale once at the end.
     """
-    f32 = jnp.float32
+    quant = plane_p.dtype == jnp.int16
+    acc_dt = jnp.int32 if quant else jnp.float32
     W_CH = min(w_ch, Wmax)
     bw = plane_p.shape[1]
 
     def w_body(i, Sp):
         chunk = jax.lax.dynamic_slice(rows, (0, i * W_CH), (R, W_CH))
-        return Sp + jnp.sum(plane_p[chunk].astype(f32), axis=1)
+        return Sp + jnp.sum(plane_p[chunk], axis=1, dtype=acc_dt)
 
-    Sp = jax.lax.fori_loop(0, Wmax // W_CH, w_body, jnp.zeros((R, bw), f32))
+    Sp = jax.lax.fori_loop(0, Wmax // W_CH, w_body, jnp.zeros((R, bw), acc_dt))
     return Sp[:, :B]
 
 
-def _apply_amb(S, C, plane_s, arows, *, R, B, Amax, k, eps, log_eps, shifted):
+def _apply_amb(S, C, plane_s, arows, *, R, B, Amax, k, eps, log_eps, shifted,
+               plane_scale=1.0):
     """Fold the ambiguous first-hit contribution (quirks Q6/Q7) into (S, C).
 
     ``shifted``: the plane holds s - log10(eps); the stored score is
     recovered as sel + log_eps and the contribution lands shifted too
-    (V - log_eps), preserving S' = S - C*log_eps.
+    (V - log_eps), preserving S' = S - C*log_eps.  ``plane_scale != 1``
+    (int16 plane) dequantizes the selected value first; S must already be
+    in dequantized f32 units.
     """
     first, sel = dense_amb_from_rows(plane_s, arows, R=R, B=B, Amax=Amax)
     hit = first < _ORDER_INF
     f32 = jnp.float32
+    if plane_scale != 1.0:
+        sel = sel / f32(plane_scale)
     s = sel + f32(log_eps) if shifted else sel
     pow10 = jnp.exp(s * f32(math.log(10.0)))
     V = (pow10 + f32(k - 1) * f32(eps)) / f32(k)
@@ -769,7 +792,7 @@ def _pack_outputs(outs, e_total, a_total):
     On remote-tunnel platforms every fetched array leaf costs a full round
     trip (measured ~30 ms each); a single packed array makes the whole
     result one transfer.  idx/counts fit exactly in f32 (< 2**24)."""
-    scores_k, idx_k, counts_k, wr_k, n, zero_sum = outs
+    scores_k, idx_k, counts_k, wr_k, n, zero_sum = outs[:6]
     f32 = jnp.float32
     body = jnp.concatenate(
         [
@@ -810,6 +833,50 @@ def unpack_outputs(arr: np.ndarray, K: int):
     e_total = (int(totals[0]) << 20) + int(totals[1])
     a_total = (int(totals[2]) << 20) + int(totals[3])
     return scores_k, idx_k, counts_k, wr_k, n, zero_sum, e_total, a_total
+
+
+def _pack_outputs_slim(outs):
+    """Slim (R, 2K+3) result pack for the shifted dense paths.
+
+    The D2H fetch rides a ~40 MB/s tunnel, so result bytes are throughput
+    (~25 ms/batch at the full 30-column pack, R=8192).  Shifted mode never
+    materializes counts (all -1) and the like-weight ratios are a pure
+    function of (topk_scores, log_sum), so the wire carries only
+    [scores K | idx K | log_sum | n | zero_sum] -- 1.76x fewer bytes --
+    and the host recomputes wr in the same f32 arithmetic the device used
+    (:func:`unpack_outputs_slim`)."""
+    scores_k, idx_k, _counts_k, _wr_k, n, zero_sum, log_sum = outs
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            scores_k,
+            idx_k.astype(f32),
+            log_sum[:, None],
+            n.astype(f32)[:, None],
+            zero_sum.astype(f32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def unpack_outputs_slim(arr: np.ndarray, K: int):
+    """Host-side inverse of _pack_outputs_slim; recomputes wr exactly as the
+    device would (f32 exp of score - log_sum, zeroed below the double-pow
+    underflow floor, mirroring _lwr_topk)."""
+    scores_k = arr[:, 0:K]
+    idx_k = arr[:, K : 2 * K].astype(np.int32)
+    log_sum = arr[:, 2 * K]
+    n = arr[:, 2 * K + 1].astype(np.int32)
+    zero_sum = arr[:, 2 * K + 2] != 0
+    dead = zero_sum[:, None] | (scores_k < np.float32(_POW10_ZERO))
+    # mask BEFORE subtracting: dead lanes can hold -inf - -inf
+    z = np.where(dead, np.float32(0), scores_k) - np.where(
+        dead, np.float32(0), np.broadcast_to(log_sum[:, None], scores_k.shape)
+    )
+    wr = np.exp(z.astype(np.float32) * np.float32(math.log(10.0)))
+    wr = np.where(dead, np.float32(0), wr).astype(np.float64)
+    counts_k = np.full((arr.shape[0], K), -1, dtype=np.int64)
+    return scores_k, idx_k, counts_k, wr, n, zero_sum, 0, 0
 
 
 @dataclasses.dataclass
@@ -1029,12 +1096,16 @@ class JaxPlacer(HostStaging):
         # not for hand-built fixtures, so it is checked, not assumed
         self._shifted = (
             self._dense_db
-            and self.config.plane_mode == "shifted"
-            and self.config.precision == "exact"
+            and (self.config.plane_mode == "shifted"
+                 or self.config.precision == "int16")
+            and self.config.precision in ("exact", "int16")
             and self._host_lookup  # device-cuckoo dense path stays classic
             and (db.scores.size == 0
                  or float(db.scores.min()) >= float(self.log_eps))
         )
+        # int16 quantized plane: shifted-only (values live in [0, -log_eps])
+        self._plane_q = self._shifted and self.config.precision == "int16"
+        self._plane_scale = 1.0
         if self._dense_db:
             rows_per_posting = np.repeat(
                 np.arange(n_keys, dtype=np.int32), lens.astype(np.int64)
@@ -1066,6 +1137,20 @@ class JaxPlacer(HostStaging):
                 plane_dtype = jnp.bfloat16
                 # the f32 subnormal nudge would round to bf16 zero
                 sc = np.where(sc == 0.0, np.float32(-1.2e-38), sc)
+            if self._plane_q:
+                # quantize the shifted values onto a 32000-step grid; present
+                # cells clamp to >= 1 so presence stays "!= 0".  Row sums
+                # accumulate in int32 (exact: even a 65535-window read tops
+                # out at 65526 * 32000 < 2**31) and one divide recovers
+                # log10 units.  The max quantum is 32000, NOT 32767: the
+                # headroom keeps that worst-case sum inside int32.
+                plane_dtype = jnp.int16
+                span = max(float(-self.log_eps), 1e-6)
+                self._plane_scale = 32000.0 / span
+                sc = np.clip(
+                    np.rint(sc.astype(np.float64) * self._plane_scale),
+                    1, 32000,
+                ).astype(np.int16)
             self._plane_s = (
                 jnp.zeros((n_keys + 1, self._plane_w), plane_dtype)
                 .at[rows_per_posting, br]
@@ -1196,7 +1281,9 @@ class JaxPlacer(HostStaging):
                     jnp.asarray(rows), jnp.asarray(arows), jnp.asarray(m_f32),
                     R=R, B=self.B, K=K, Wmax=Wmax, Amax=Amax, k=self.k,
                     log_eps=float(self.log_eps), eps=float(self.eps),
-                    shifted=self._shifted, interpret=self._interpret,
+                    shifted=self._shifted,
+                    plane_scale=float(self._plane_scale),
+                    interpret=self._interpret,
                 )
                 return _Pending(sequence_map, seqs, m_signed, out, None, (None, R, K))
             Amax = _bucket(apr, 8)
@@ -1308,7 +1395,8 @@ class JaxPlacer(HostStaging):
             R=R, B=self.B, K=K, Amax=Amax, k=self.k, Lmax=Lmax,
             num_kmers=self.db.num_kmers,
             log_eps=float(self.log_eps), eps=float(self.eps),
-            shifted=self._shifted, interpret=self._interpret,
+            shifted=self._shifted,
+            plane_scale=float(self._plane_scale), interpret=self._interpret,
         )
         arrays = (
             self._plane_s, self._dev_direct, jnp.asarray(buf), jnp.asarray(arows),
@@ -1350,8 +1438,12 @@ class JaxPlacer(HostStaging):
         cfg = self.config
         inputs, R, K = pending.redo
         if pending.budgets is None:  # dense-DB mode: no overflow retries
-            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = unpack_outputs(
-                np.asarray(pending.out), K
+            arr = np.asarray(pending.out)
+            # shifted paths ship the slim (R, 2K+3) pack; classic the
+            # (R+1, 4K+2) full pack -- widths are distinct for every K >= 1
+            unpack = unpack_outputs_slim if arr.shape[1] == 2 * K + 3 else unpack_outputs
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = unpack(
+                arr, K
             )
             # the bytes path pads R to a 64 multiple; drop padding rows
             return self._assemble(
@@ -1423,7 +1515,8 @@ class JaxPlacer(HostStaging):
                 R=R, B=self.B, K=min(cfg.keep_at_most, self.B),
                 Wmax=Wmax, Amax=Amax, k=self.k,
                 log_eps=float(self.log_eps), eps=float(self.eps),
-                shifted=self._shifted, interpret=self._interpret,
+                shifted=self._shifted,
+                plane_scale=float(self._plane_scale), interpret=self._interpret,
             )
             args = (
                 self._plane_s, jnp.asarray(rows), jnp.asarray(arows),

@@ -165,6 +165,7 @@ def reference_like_db(
     ref_length: int = 600_000,
     mean_posting_len: float = 12.0,
     omega: float = 1.5,
+    sequence_type: str = "nucl",
     seed: int = 0,
 ):
     """A synthetic database whose keys are the k-mers of a simulated
@@ -175,10 +176,11 @@ def reference_like_db(
     from ..core.kmers import tokenize_read
     from ..core.tree import parse_newick
 
+    alphabet = get_alphabet(sequence_type)
     rng = np.random.default_rng(seed)
-    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
-    ref = letters[rng.integers(0, 4, ref_length)].tobytes()
-    toks = tokenize_read(ref, kmer_size, get_alphabet("nucl"))
+    letters = np.frombuffer(alphabet.letters.encode(), dtype=np.uint8)
+    ref = letters[rng.integers(0, alphabet.sigma, ref_length)].tobytes()
+    toks = tokenize_read(ref, kmer_size, alphabet)
     keys = np.unique(toks.exact_keys)
 
     newick = random_tree_newick(num_leaves, rng)
@@ -188,10 +190,10 @@ def reference_like_db(
     row_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
     total = int(row_off[-1])
     branches = rng.integers(0, num_branches, size=total).astype(np.uint32)
-    log_eps = log10_score_threshold(omega, kmer_size, 4)
+    log_eps = log10_score_threshold(omega, kmer_size, alphabet.sigma)
     scores = rng.uniform(log_eps, -0.05, size=total).astype(np.float32)
     db = PhyloKmerDB(
-        sequence_type="nucl", kmer_size=kmer_size, omega=omega,
+        sequence_type=sequence_type, kmer_size=kmer_size, omega=omega,
         tree_newick=newick, keys=keys.astype(np.uint64), row_off=row_off,
         branches=branches, scores=scores, version=EARLIEST_INDEX,
         num_entries_total=total, num_entries_loaded=total,
@@ -202,17 +204,19 @@ def reference_like_db(
 
 def reads_from_reference(
     ref: bytes, num_reads: int, length: int = 150, mutation_rate: float = 0.02,
+    sequence_type: str = "nucl",
     seed: int = 0,
 ):
     """Reads sampled as substrings of the reference with point mutations."""
+    alphabet = get_alphabet(sequence_type)
     rng = np.random.default_rng(seed)
-    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    letters = np.frombuffer(alphabet.letters.encode(), dtype=np.uint8)
     ref_arr = np.frombuffer(ref, dtype=np.uint8)
     out = []
     for i in range(num_reads):
         start = int(rng.integers(0, len(ref_arr) - length))
         seq = ref_arr[start : start + length].copy()
         mut = rng.random(length) < mutation_rate
-        seq[mut] = letters[rng.integers(0, 4, int(mut.sum()))]
+        seq[mut] = letters[rng.integers(0, alphabet.sigma, int(mut.sum()))]
         out.append((f"read_{i}", seq.tobytes()))
     return out

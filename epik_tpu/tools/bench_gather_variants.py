@@ -119,12 +119,30 @@ def main() -> None:
         g = plane_s[rows]  # (R, W, BW)
         return jnp.sum(g, axis=1)
 
+    # --- f. int16 quantized plane: int32 accumulate (precision="int16") --------
+    @functools.partial(jax.jit, static_argnames=("w_ch",))
+    def one_reduce_i16(plane_q, rows, w_ch=32):
+        i32 = jnp.int32
+
+        def body(i, S):
+            chunk = jax.lax.dynamic_slice(rows, (0, i * w_ch), (R, w_ch))
+            return S + jnp.sum(plane_q[chunk], axis=1, dtype=i32)
+
+        S = jax.lax.fori_loop(0, W // w_ch, body, jnp.zeros((R, BW), i32))
+        return S.astype(jnp.float32) / jnp.float32(7500.0)
+
+    d_plane_i16 = jnp.clip(jnp.round(d_plane * 5000.0), 0, 32000).astype(jnp.int16)
+    d_plane_i16.block_until_ready()
+
     timeit("a. two-reduce w_ch=32 (current)", two_reduce, d_plane, d_rows)
     for w_ch in (8, 16, 32, 64, 160):
         timeit(f"b. one-reduce w_ch={w_ch}", functools.partial(one_reduce, w_ch=w_ch),
                d_plane, d_rows)
     timeit("d. whole-batch gather+sum", whole, d_plane, d_rows)
     timeit("e. one-reduce bf16 w_ch=32", one_reduce, d_plane_bf16, d_rows)
+    for w_ch in (8, 16, 32, 64, 160):
+        timeit(f"f. one-reduce int16 w_ch={w_ch}",
+               functools.partial(one_reduce_i16, w_ch=w_ch), d_plane_i16, d_rows)
 
 
 if __name__ == "__main__":

@@ -99,6 +99,8 @@ def main(argv=None) -> int:
         ("jax", JaxPlacer(db, tree)),
         ("jax_shifted", JaxPlacer(db, tree,
                                   config=PlacerConfig(plane_mode="shifted"))),
+        ("jax_int16", JaxPlacer(db, tree,
+                                config=PlacerConfig(precision="int16"))),
         ("sharded_1x1", ShardedJaxPlacer(db, tree, mesh11)),
     ]
     paths = {}

@@ -588,6 +588,74 @@ class TestShiftedPlane:
         assert_equivalent(out_ref, out_jax)
 
 
+class TestInt16Plane:
+    """precision="int16": quantized shifted plane, exact int32 accumulation.
+
+    Worst-case per-cell quantization error is (-log_eps)/64000 log10 units;
+    summed over a read's windows and divided by k it stays far inside the
+    1e-4 probability-space gate (and inside assert_equivalent's wr
+    tolerance) on every fixture class."""
+
+    def _placer(self, db):
+        import jax.numpy as jnp
+
+        from epik_tpu.engine.placer import PlacerConfig
+
+        tree = parse_newick(db.tree())
+        cfg = PlacerConfig(precision="int16", dense_db="on")
+        p = JaxPlacer(db, tree, config=cfg)
+        assert p._shifted and p._plane_q, "fixture must take the int16 plane"
+        assert p._plane_s.dtype == jnp.int16
+        return p
+
+    def test_matches_oracle_mixed(self):
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=141)
+        tree = parse_newick(db.tree())
+        reads = random_reads(48, length=30, seed=142, ambig_rate=0.1)
+        reads += [("nohit", b"T" * 25), ("short", b"AC"), ("amb", b"ANGTCA" * 4)]
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        out_jax = self._placer(db).place(reads)
+        assert_equivalent(out_ref, out_jax)
+
+    def test_boundary_scores_survive(self):
+        """Exact 0.0 (P == 1) and exact log10(eps) stored scores quantize to
+        the top / bottom (>= 1) of the grid and still place correctly."""
+        import numpy as np
+
+        from epik_tpu.core.scoring import log10_score_threshold
+
+        log_eps = float(np.float32(log10_score_threshold(1.5, 3, 4)))
+        db = build_db(
+            {"ACG": [(0, 0.0), (2, log_eps)], "CGT": [(1, -0.5)]},
+            TREE, kmer_size=3,
+        )
+        tree = parse_newick(db.tree())
+        out_ref = ReferencePlacer(db, tree).place([("r", b"ACGT")])
+        out_jax = self._placer(db).place([("r", b"ACGT")])
+        assert_equivalent(out_ref, out_jax)
+
+    def test_int16_implies_shifted_without_flag(self):
+        """precision="int16" alone (plane_mode left classic) still routes to
+        the shifted plane -- the quantized domain is [0, -log_eps]."""
+        from epik_tpu.engine.placer import PlacerConfig
+
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=143)
+        tree = parse_newick(db.tree())
+        cfg = PlacerConfig(precision="int16", plane_mode="classic", dense_db="on")
+        p = JaxPlacer(db, tree, config=cfg)
+        assert p._shifted and p._plane_q
+
+    def test_long_read_no_overflow(self):
+        """A long read (many windows) keeps the int32 accumulator exact and
+        matches the oracle."""
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=3000, seed=144)
+        tree = parse_newick(db.tree())
+        reads = random_reads(2, length=3000, seed=145)
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        out_jax = self._placer(db).place(reads)
+        assert_equivalent(out_ref, out_jax)
+
+
 class TestClassicPlane:
     """plane_mode="classic" (exact per-branch counts) stays oracle-matched
     now that the default is shifted."""
