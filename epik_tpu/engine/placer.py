@@ -123,6 +123,20 @@ class PlacerConfig:
     #: ceiling ~18% (best-of-5 118.3k vs 100.1k reads/s/chip, round 3);
     #: "classic" remains for exact per-branch counts.
     plane_mode: str = "shifted"
+    #: (k+1)-mer PAIR plane for the shifted device-tokenize path.  The dense
+    #: row gather is DMA-issue-bound (~58-66 ns per row regardless of row
+    #: bytes, measured round 3), so throughput scales with ROWS GATHERED,
+    #: not bytes.  "auto"/"on" precompute one plane row per (k+1)-mer whose
+    #: prefix AND suffix k-mers are both in the DB (row = f32 sum of the two
+    #: shifted rows) and gather ONE row per two windows.  Key identity (holds
+    #: for any DB and any read, by enumeration of all 4 suffix extensions):
+    #: a pair MISS implies at most one of the two windows hits, so every
+    #: 2-window slot needs exactly one gather -- the row count halves
+    #: unconditionally, no dynamic compaction.  Requires the bytes fast path
+    #: (DNA, k <= 12 so the 4**(k+1) direct table fits), shifted mode, f32
+    #: plane, and the combined plane within dense_db_budget; "auto" silently
+    #: falls back when any condition fails, "off" disables.
+    pair_plane: str = "auto"
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -581,6 +595,55 @@ def _place_batch_dense_bytes(
     return _pack_outputs(outs, zero, zero)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "R", "B", "K", "Amax", "k", "Lmax", "num_kmers", "interpret",
+    ),
+)
+def _place_batch_dense_paired(
+    plane_s,
+    direct,
+    direct11,
+    buf,
+    arows,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    Amax: int,
+    k: int,
+    Lmax: int,
+    num_kmers: int,
+    log_eps,
+    eps,
+    interpret: bool = False,
+):
+    """Dense shifted step over the PAIR plane (PlacerConfig.pair_plane).
+
+    Same contract as :func:`_place_batch_dense_bytes` in shifted mode, but
+    the row gather runs over ceil(W/2) pair slots instead of W windows --
+    the row-issue count (the measured bound of the hot loop) halves.
+    """
+    rows, lens = device_tokenize_paired(
+        buf, direct, direct11, k=k, Lmax=Lmax, num_kmers=num_kmers
+    )
+    f32 = jnp.float32
+    m_signed = lens - jnp.int32(k - 1)
+    m_f32 = jnp.where(
+        m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+    )
+    Wp = rows.shape[1]
+    Wpad = -(-Wp // 16) * 16
+    rows = jnp.pad(rows, ((0, 0), (0, Wpad - Wp)), constant_values=num_kmers)
+    Sp = dense_sums_shifted(plane_s, rows, R=R, B=B, Wmax=Wpad)
+    if Amax > 0:
+        Sp, _ = _apply_amb(Sp, None, plane_s, arows, R=R, B=B, Amax=Amax,
+                           k=k, eps=eps, log_eps=log_eps, shifted=True)
+    outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+    return _pack_outputs_slim(outs)
+
+
 def dense_exact_sums(table, plane_s, e_hi, e_lo, *, R, B, Wmax, seed1, seed2,
                      w_ch=16):
     """Per-read (S, C) sums from the dense score plane (shard-composable:
@@ -760,6 +823,16 @@ def device_tokenize_packed(buf, direct, *, k: int, Lmax: int, num_kmers: int):
     Returns (rows (R, W) int32, lens (R,) int32).  DNA only: keys fit
     uint32 for k <= 16 and the direct table fits HBM for k <= 13.
     """
+    key, ok, _c, lens = _tokenize_core(buf, k=k, Lmax=Lmax)
+    rows = jnp.take(direct, key.astype(jnp.int32), axis=0)
+    return jnp.where(ok, rows, jnp.int32(num_kmers)), lens
+
+
+def _tokenize_core(buf, *, k: int, Lmax: int):
+    """Unpack the packed read buffer into per-window keys + validity.
+
+    Returns (key (R, W) uint32, ok (R, W) bool, codes (R, Lmax) uint32,
+    lens (R,) int32) with W = Lmax - k + 1."""
     i32 = jnp.int32
     u32 = jnp.uint32
     R = buf.shape[0]
@@ -782,8 +855,52 @@ def device_tokenize_packed(buf, direct, *, k: int, Lmax: int, num_kmers: int):
         [jnp.zeros((R, 1), i32), jnp.cumsum(bad, axis=1)], axis=1
     )
     ok = (cs[:, k : k + W] - cs[:, :W]) == 0
-    rows = jnp.take(direct, key.astype(i32), axis=0)
-    return jnp.where(ok, rows, i32(num_kmers)), lens
+    return key, ok, c, lens
+
+
+def device_tokenize_paired(buf, direct, direct11, *, k: int, Lmax: int,
+                           num_kmers: int):
+    """Paired on-device tokenizer: ONE plane row per two windows.
+
+    Combined-plane layout: rows 0..N-1 = k-mer rows, row N = all-zero
+    (every miss sentinel unchanged), rows N+1.. = (k+1)-mer pair rows
+    (``direct11`` maps a (k+1)-mer key to its absolute combined row, -1
+    when absent).  Per 2-window slot:
+
+    * pair hit  -> the precomputed pair row (sum of both windows' rows);
+    * pair miss -> by construction at most ONE of the two windows can hit
+      (the pair table enumerates every suffix extension of every DB key,
+      so "both k-mers present" implies "pair present"), gather that row;
+    * neither   -> the zero row.
+
+    Exactly ceil(W/2) rows per read -- half the DMA issues of
+    :func:`device_tokenize_packed` -- with identical summed scores.
+
+    Returns (slot_rows (R, ceil(W/2)) int32, lens (R,) int32).
+    """
+    i32 = jnp.int32
+    key, ok, c, lens = _tokenize_core(buf, k=k, Lmax=Lmax)
+    R, W = key.shape
+    rows10 = jnp.where(ok, jnp.take(direct, key.astype(i32), axis=0),
+                       i32(num_kmers))
+    Wp = (W + 1) // 2
+    if W >= 2:
+        # (k+1)-mer key/validity spans windows w and w+1
+        key11 = key[:, : W - 1] * jnp.uint32(4) + c[:, k : k + W - 1]
+        ok11 = ok[:, : W - 1] & ok[:, 1:]
+        prow = jnp.where(ok11, jnp.take(direct11, key11.astype(i32), axis=0),
+                         i32(-1))
+        prow_e = prow[:, 0::2]
+        prow_e = jnp.pad(prow_e, ((0, 0), (0, Wp - prow_e.shape[1])),
+                         constant_values=-1)
+    else:
+        prow_e = jnp.full((R, Wp), -1, i32)
+    rows10p = jnp.pad(rows10, ((0, 0), (0, 2 * Wp - W)),
+                      constant_values=num_kmers)
+    r1 = rows10p[:, 0::2]
+    r2 = rows10p[:, 1::2]
+    single = jnp.where(r1 != i32(num_kmers), r1, r2)
+    return jnp.where(prow_e >= 0, prow_e, single), lens
 
 
 def _pack_outputs(outs, e_total, a_total):
@@ -1084,10 +1201,12 @@ class JaxPlacer(HostStaging):
             and self.k <= 13
         )
         self._dev_direct = None
+        self._direct_np = None
         if self._fast_bytes:
             direct = np.full(4**self.k, n_keys, dtype=np.int32)
             direct[db.keys.astype(np.int64)] = np.arange(n_keys, dtype=np.int32)
             self._dev_direct = jnp.asarray(direct)
+            self._direct_np = direct
         # shifted plane: single-reduce scoring (see PlacerConfig.plane_mode);
         # only meaningful for the dense f32 paths
         # validity: the count term only cancels when every stored score is
@@ -1156,6 +1275,64 @@ class JaxPlacer(HostStaging):
                 .at[rows_per_posting, br]
                 .set(jnp.asarray(sc).astype(plane_dtype))
             )
+        # (k+1)-mer pair plane: halve the row-issue count of the bytes path
+        # (see PlacerConfig.pair_plane).  Layout keeps the zero row at index
+        # n_keys so every existing miss sentinel stays valid; pair rows
+        # append after it.
+        self._paired = False
+        self._dev_direct11 = None
+        if (
+            self._fast_bytes
+            and self._shifted
+            and not self._plane_q
+            and self.config.pair_plane in ("auto", "on")
+            and self.k + 1 <= 13
+            and n_keys > 0
+        ):
+            pu, pv, key11 = self._enumerate_pairs(n_keys)
+            n_pairs = int(pu.shape[0])
+            paired_bytes = (n_keys + 1 + n_pairs) * self._plane_w * 4
+            if n_pairs > 0 and (
+                paired_bytes <= self.config.dense_db_budget
+                or self.config.pair_plane == "on"
+            ):
+                direct11 = np.full(4 ** (self.k + 1), -1, dtype=np.int32)
+                direct11[key11] = n_keys + 1 + np.arange(n_pairs, dtype=np.int32)
+                self._dev_direct11 = jnp.asarray(direct11)
+                # pair rows = f32 sum of the two shifted rows, built on
+                # device in chunks (bounded temporaries), then appended
+                chunks = [self._plane_s]
+                CH = 1 << 16
+                for s in range(0, n_pairs, CH):
+                    chunks.append(
+                        self._plane_s[jnp.asarray(pu[s : s + CH])]
+                        + self._plane_s[jnp.asarray(pv[s : s + CH])]
+                    )
+                self._plane_s = jnp.concatenate(chunks, axis=0)
+                self._paired = True
+
+    def _enumerate_pairs(self, n_keys: int):
+        """Enumerate every (k+1)-mer whose prefix and suffix k-mers are both
+        DB keys: for each key u and each of the 4 suffix extensions c, the
+        pair exists iff v = (u mod 4**(k-1))*4 + c is also a key.  Returns
+        (pu, pv, key11): prefix row, suffix row, and the (k+1)-mer code of
+        each pair (vectorized; ~20 ms per 400k keys)."""
+        keys = self.db.keys.astype(np.uint64)
+        direct = self._direct_np
+        suf_core = (keys % np.uint64(4 ** (self.k - 1))) * np.uint64(4)
+        pu_l, pv_l, k11_l = [], [], []
+        for c in range(4):
+            v = suf_core + np.uint64(c)
+            vr = direct[v.astype(np.int64)]
+            m = vr != n_keys
+            pu_l.append(np.flatnonzero(m).astype(np.int32))
+            pv_l.append(vr[m].astype(np.int32))
+            k11_l.append((keys[m] * np.uint64(4) + np.uint64(c)).astype(np.int64))
+        return (
+            np.concatenate(pu_l),
+            np.concatenate(pv_l),
+            np.concatenate(k11_l),
+        )
 
     # -- lazily-built lookup structures -----------------------------------------
     # guarded by _lazy_lock: place() runs concurrently from the pipeline's
@@ -1390,6 +1567,19 @@ class JaxPlacer(HostStaging):
 
         K = min(cfg.keep_at_most, self.B)
         buf = pack_reads(codes, lens_pad)
+        if self._paired:
+            fn = functools.partial(
+                _place_batch_dense_paired,
+                R=R, B=self.B, K=K, Amax=Amax, k=self.k, Lmax=Lmax,
+                num_kmers=self.db.num_kmers,
+                log_eps=float(self.log_eps), eps=float(self.eps),
+                interpret=self._interpret,
+            )
+            arrays = (
+                self._plane_s, self._dev_direct, self._dev_direct11,
+                jnp.asarray(buf), jnp.asarray(arows),
+            )
+            return fn, arrays, m_signed, R_true, K
         fn = functools.partial(
             _place_batch_dense_bytes,
             R=R, B=self.B, K=K, Amax=Amax, k=self.k, Lmax=Lmax,

@@ -190,6 +190,20 @@ def reference_like_db(
     row_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
     total = int(row_off[-1])
     branches = rng.integers(0, num_branches, size=total).astype(np.uint32)
+    # real DBs hold ONE score per (kmer, branch); duplicate branches within a
+    # posting list would make set-semantics engines (dense planes) diverge
+    # from the accumulate-semantics oracle.  Vectorized per-row dedup: redraw
+    # only the colliding entries until none remain.
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+    for _ in range(200):
+        order = np.lexsort((branches, row_id))
+        dup = (np.diff(branches[order]) == 0) & (np.diff(row_id[order]) == 0)
+        if not dup.any():
+            break
+        idx = order[1:][dup]
+        branches[idx] = rng.integers(0, num_branches, idx.size)
+    else:  # pragma: no cover
+        raise RuntimeError("per-row branch dedup did not converge")
     log_eps = log10_score_threshold(omega, kmer_size, alphabet.sigma)
     scores = rng.uniform(log_eps, -0.05, size=total).astype(np.float32)
     db = PhyloKmerDB(

@@ -46,6 +46,22 @@ def assert_equivalent(out_ref, out_jax, check_wr=True):
             assert p_ref.pendant_length == pytest.approx(p_jax.pendant_length)
 
 
+def assert_jplace_close(out_ref, out_jax, eps=1e-4):
+    """The project's acceptance-oracle semantics (tools/jplace_diff.py):
+    score SETS almost-equal per sequence -- tolerates near-tie edge swaps
+    at the keep-at-most cut, which f32 reordering can produce on fixtures
+    with genuine ties (docs/QUIRKS.md)."""
+    ref_by = {q.sequence: q.placements for q in out_ref.placed_seqs}
+    jax_by = {q.sequence: q.placements for q in out_jax.placed_seqs}
+    assert set(ref_by) == set(jax_by)
+    for seq, rp in ref_by.items():
+        sa = sorted(q.score for q in rp)
+        sb = sorted(q.score for q in jax_by[seq])
+        assert len(sa) == len(sb) and all(
+            abs(x - y) <= eps for x, y in zip(sa, sb)
+        ), f"{seq!r}: score sets diverge beyond the oracle epsilon"
+
+
 def both_engines(db, **kw):
     tree = parse_newick(db.tree())
     return ReferencePlacer(db, tree, **kw), JaxPlacer(db, tree, **kw)
@@ -654,6 +670,73 @@ class TestInt16Plane:
         out_ref = ReferencePlacer(db, tree).place(reads)
         out_jax = self._placer(db).place(reads)
         assert_equivalent(out_ref, out_jax)
+
+
+class TestPairPlane:
+    """pair_plane: one (k+1)-mer row gather per two windows (bytes path).
+
+    The pair table enumerates every suffix extension of every DB key, so a
+    pair miss implies at most one of the two windows hits -- each 2-window
+    slot needs exactly one gather and summed scores are identical up to one
+    f32 rounding per pair cell."""
+
+    def _fixture(self):
+        from epik_tpu.io.build import reads_from_reference, reference_like_db
+
+        db, ref = reference_like_db(num_leaves=48, kmer_size=8,
+                                    ref_length=30_000, mean_posting_len=6.0,
+                                    seed=31)
+        tree = parse_newick(db.tree())
+        reads = reads_from_reference(ref, 60, length=101, mutation_rate=0.05,
+                                     seed=32)
+        reads += reads_from_reference(ref, 10, length=80, mutation_rate=0.4,
+                                      seed=33)
+        reads += [("amb", reads[0][1][:40] + b"N" + reads[0][1][41:]),
+                  ("short", b"AC"), ("nohit", b"T" * 30)]
+        return db, tree, reads
+
+    def test_matches_oracle(self):
+        """Acceptance at the project's own oracle semantics (jplace_diff):
+        per-edge in probability space, with the score-set fallback that
+        tolerates near-tie edge swaps at the keep-at-most cut (the pair
+        cells round once at build, reordering f32 additions ~1e-6)."""
+        db, tree, reads = self._fixture()
+        p = JaxPlacer(db, tree)
+        assert p._paired, "fixture must activate the pair plane"
+        assert p._plane_s.shape[0] > db.num_kmers + 1
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_jplace_close(out_ref, p.place(reads))
+
+    def test_zero_row_stays_at_n_keys(self):
+        """Combined layout keeps the all-zero row at index n_keys so every
+        miss sentinel (host rows matrix, direct table, padding) is valid."""
+        db, tree, _ = self._fixture()
+        p = JaxPlacer(db, tree)
+        assert p._paired
+        assert not np.asarray(p._plane_s[db.num_kmers]).any()
+
+    def test_off_and_incompatible_modes(self):
+        from epik_tpu.engine.placer import PlacerConfig
+
+        db, tree, reads = self._fixture()
+        off = JaxPlacer(db, tree, config=PlacerConfig(pair_plane="off"))
+        assert not off._paired
+        q = JaxPlacer(db, tree, config=PlacerConfig(precision="int16"))
+        assert not q._paired  # int16 pair rows would overflow the grid
+        tiny = JaxPlacer(db, tree, config=PlacerConfig(dense_db_budget=(
+            (db.num_kmers + 2) * 128 * 4)))
+        assert tiny._dense_db and not tiny._paired  # combined over budget
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_jplace_close(out_ref, off.place(reads))
+
+    def test_odd_window_count(self):
+        """Odd W leaves a trailing single-window slot."""
+        db, tree, _ = self._fixture()
+        p = JaxPlacer(db, tree)
+        assert p._paired
+        reads = [("odd", b"ACGTACGTACGTACGT")]  # 16 chars, k=8 -> W=9 (odd)
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_equivalent(out_ref, p.place(reads))
 
 
 class TestClassicPlane:
