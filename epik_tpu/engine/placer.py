@@ -903,6 +903,95 @@ def device_tokenize_paired(buf, direct, direct11, *, k: int, Lmax: int,
     return jnp.where(prow_e >= 0, prow_e, single), lens
 
 
+def device_tokenize_codes(buf, *, k: int, sigma: int, Lmax: int):
+    """On-device window keys for generic-alphabet codes (the amino path).
+
+    ``buf``: (R, Lmax + 2) uint8 -- alphabet codes (exact < sigma, others
+    invalid) plus a trailing uint16 read length.  Window keys are built in
+    base sigma with uint32 split limbs (b = low 16 bits, a = high bits):
+    b' = b*sigma + c wraps at 2**16 into a, so sigma**k < 2**48 (amino
+    k <= 10) needs no x64.  Returns (a, b, ok, lens)."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    R = buf.shape[0]
+    codes = buf[:, :Lmax].astype(i32)
+    lens = buf[:, Lmax].astype(i32) + 256 * buf[:, Lmax + 1].astype(i32)
+    bad = (codes >= sigma).astype(i32)
+    W = Lmax - k + 1
+    c = jnp.where(codes < sigma, codes, 0).astype(u32)
+    a = jnp.zeros((R, W), u32)
+    b = jnp.zeros((R, W), u32)
+    for j in range(k):
+        cj = c[:, j : j + W]
+        b2 = b * u32(sigma) + cj
+        a = a * u32(sigma) + (b2 >> u32(16))
+        b = b2 & u32(0xFFFF)
+    cs = jnp.concatenate(
+        [jnp.zeros((R, 1), i32), jnp.cumsum(bad, axis=1)], axis=1
+    )
+    ok = (cs[:, k : k + W] - cs[:, :W]) == 0
+    return a, b, ok, lens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "R", "B", "K", "Amax", "k", "sigma", "Lmax", "num_kmers",
+        "shift", "n_probe", "plane_scale", "interpret",
+    ),
+)
+def _place_batch_dense_codes(
+    plane_s,
+    off,
+    low,
+    buf,
+    arows,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    Amax: int,
+    k: int,
+    sigma: int,
+    Lmax: int,
+    num_kmers: int,
+    shift: int,
+    n_probe: int,
+    log_eps,
+    eps,
+    plane_scale: float = 1.0,
+    interpret: bool = False,
+):
+    """Dense shifted step for generic alphabets (amino): on-device
+    tokenization + radix-index lookup (ops/radix_lookup.py) + shifted row
+    gather.  Removes ALL per-window host work from the amino path, which
+    was host-staging-bound (~60 ms/2000 reads of searchsorted + row fill
+    on a 2-core host vs ~10 ms of device element gathers)."""
+    from ..ops.radix_lookup import radix_lookup
+
+    a, b, ok, lens = device_tokenize_codes(buf, k=k, sigma=sigma, Lmax=Lmax)
+    rows = radix_lookup(off, low, a, b, shift=shift, n_probe=n_probe,
+                        n_keys=num_kmers)
+    rows = jnp.where(ok, rows, jnp.int32(num_kmers))
+    f32 = jnp.float32
+    m_signed = lens - jnp.int32(k - 1)
+    m_f32 = jnp.where(
+        m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+    )
+    W = rows.shape[1]
+    Wp = -(-W // 16) * 16
+    rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=num_kmers)
+    Sp = dense_sums_shifted(plane_s, rows, R=R, B=B, Wmax=Wp)
+    if plane_scale != 1.0:
+        Sp = Sp.astype(f32) / f32(plane_scale)
+    if Amax > 0:
+        Sp, _ = _apply_amb(Sp, None, plane_s, arows, R=R, B=B, Amax=Amax,
+                           k=k, eps=eps, log_eps=log_eps, shifted=True,
+                           plane_scale=plane_scale)
+    outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+    return _pack_outputs_slim(outs)
+
+
 def _pack_outputs(outs, e_total, a_total):
     """Pack all step outputs into ONE (R+1, 4K+2) f32 array.
 
@@ -1275,6 +1364,33 @@ class JaxPlacer(HostStaging):
                 .at[rows_per_posting, br]
                 .set(jnp.asarray(sc).astype(plane_dtype))
             )
+        # generic-alphabet device tokenize (amino): radix-index lookup keeps
+        # every device access an element gather (ops/radix_lookup.py).
+        # Limb tokenization needs sigma**k < 2**48; a skewed key
+        # distribution (max radix bucket > 32 probes) falls back to host.
+        self._fast_codes = False
+        self._radix = None
+        self._dev_radix = None
+        if (
+            self._dense_db
+            and self._shifted
+            and not self._fast_bytes
+            and self.config.tokenize_where in ("auto", "device")
+            and n_keys > 0
+            and self.alphabet.sigma**self.k < (1 << 48)
+        ):
+            from ..ops.radix_lookup import build_radix
+
+            key_bits = int(self.alphabet.sigma**self.k - 1).bit_length()
+            try:
+                radix = build_radix(db.keys, key_bits)
+            except ValueError:
+                radix = None
+            if radix is not None and 0 < radix.max_bucket <= 32:
+                self._radix = radix
+                self._dev_radix = radix.device_arrays()
+                self._fast_codes = True
+
         # (k+1)-mer pair plane: halve the row-issue count of the bytes path
         # (see PlacerConfig.pair_plane).  Layout keeps the zero row at index
         # n_keys so every existing miss sentinel stays valid; pair rows
@@ -1427,6 +1543,10 @@ class JaxPlacer(HostStaging):
 
         if self._fast_bytes:
             pending = self._place_async_bytes(sequence_map, seqs)
+            if pending is not None:
+                return pending
+        elif self._fast_codes:
+            pending = self._place_async_codes(sequence_map, seqs)
             if pending is not None:
                 return pending
 
@@ -1591,6 +1711,66 @@ class JaxPlacer(HostStaging):
         arrays = (
             self._plane_s, self._dev_direct, jnp.asarray(buf), jnp.asarray(arows),
         )
+        return fn, arrays, m_signed, R_true, K
+
+    def _place_async_codes(self, sequence_map, seqs):
+        staged = self._stage_codes(seqs)
+        if staged is None:
+            return None
+        fn, arrays, m_signed, R_true, K = staged
+        out = fn(*arrays)
+        return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
+
+    def _stage_codes(self, seqs):
+        """Stage the generic-alphabet device path (amino): ship one uint8
+        codes buffer; window keys, radix lookup, and the row gather all run
+        on chip.  Mirrors :meth:`_stage_bytes`."""
+        cfg = self.config
+        R_true = len(seqs)
+        lens_arr = np.fromiter((len(s) for s in seqs), np.int64, count=R_true)
+        Lmax_true = int(lens_arr.max())
+        if Lmax_true < self.k or Lmax_true > 0xFFFF:
+            return None
+
+        gran = 256 if R_true > 2048 else 64
+        R = -(-R_true // gran) * gran
+        Lmax = -(-Lmax_true // 8) * 8
+        flat = np.frombuffer(b"".join(seqs), np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens_arr)])
+        mat = np.zeros((R, Lmax), np.uint8)
+        mat[np.repeat(np.arange(R_true), lens_arr),
+            np.arange(flat.size) - np.repeat(starts[:-1], lens_arr)] = flat
+
+        m_signed = lens_arr - self.k + 1
+        codes = self.alphabet.char_code[mat]
+        amb_mask = ((codes >= 0x80) & (codes != 0xFF)).any(axis=1)
+        if amb_mask.any():
+            idxs = np.flatnonzero(amb_mask)
+            tok = self._tokenize([seqs[i] for i in idxs])
+            a_keys = tok.amb_keys
+            a_read = idxs[tok.amb_read] if a_keys.size else tok.amb_read
+            apr = int(np.bincount(a_read, minlength=R).max()) if a_keys.size else 0
+            Amax = _bucket(apr, 8) if a_keys.size else 0
+            arows = self._rows_matrix(a_keys, a_read, R, Amax)
+        else:
+            Amax = 0
+            arows = np.zeros((R, 0), np.int32)
+
+        K = min(cfg.keep_at_most, self.B)
+        buf = np.concatenate([codes, np.zeros((R, 2), np.uint8)], axis=1)
+        buf[:R_true, Lmax] = lens_arr & 0xFF
+        buf[:R_true, Lmax + 1] = lens_arr >> 8
+        fn = functools.partial(
+            _place_batch_dense_codes,
+            R=R, B=self.B, K=K, Amax=Amax, k=self.k,
+            sigma=self.alphabet.sigma, Lmax=Lmax,
+            num_kmers=self.db.num_kmers,
+            shift=self._radix.shift, n_probe=self._radix.max_bucket,
+            log_eps=float(self.log_eps), eps=float(self.eps),
+            plane_scale=float(self._plane_scale), interpret=self._interpret,
+        )
+        off, low = self._dev_radix
+        arrays = (self._plane_s, off, low, jnp.asarray(buf), jnp.asarray(arows))
         return fn, arrays, m_signed, R_true, K
 
     def _dispatch(self, inputs, R, K, P, PA):

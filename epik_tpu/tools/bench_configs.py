@@ -30,24 +30,25 @@ def log(msg):
 
 
 def _amino_row():
-    from ..core.alphabet import AMINO
     from ..core.tree import parse_newick
     from ..engine.placer import JaxPlacer, PlacerConfig
-    from ..io.build import random_db
+    from ..io.build import reads_from_reference, reference_like_db
 
-    db = random_db(num_leaves=652, kmer_size=8, num_kmers=400_000,
-                   mean_posting_len=12.0, seed=20, sequence_type="amino")
+    # reference-derived keys + mutated substring reads: realistic ~85%
+    # window hit rate for BOTH engines (concatenated-k-mer reads gave the
+    # native baseline an artificially easy 12.5% hit rate)
+    db, ref = reference_like_db(num_leaves=652, kmer_size=8,
+                                ref_length=400_000, mean_posting_len=12.0,
+                                sequence_type="amino", seed=20)
     tree = parse_newick(db.tree())
-    rng = np.random.default_rng(21)
-    n_reads, parts = 20_000, 18  # ~144aa reads
-    idx = rng.integers(0, db.num_kmers, (n_reads, parts))
-    reads = [
-        (f"a{i}", "".join(AMINO.decode_key(int(db.keys[j]), 8) for j in idx[i]).encode())
-        for i in range(n_reads)
-    ]
+    n_reads = 20_000
+    reads = reads_from_reference(ref, n_reads, length=144,
+                                 mutation_rate=0.02, sequence_type="amino",
+                                 seed=21)
     cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2))
     placer = JaxPlacer(db, tree, config=cfg)
-    log(f"amino placer: dense={placer._dense_db} fast_bytes={placer._fast_bytes}")
+    log(f"amino placer: dense={placer._dense_db} fast_codes={placer._fast_codes} "
+        f"probes={placer._radix.max_bucket if placer._radix else None}")
     BATCH = 4096
     placer.place(reads[:BATCH])  # warmup compile
 

@@ -51,7 +51,8 @@ def main(argv=None) -> None:
     seqs = [s for _, s in reads]
 
     placers = {
-        "f32": JaxPlacer(db, tree, config=PlacerConfig(plane_mode="shifted")),
+        "paired": JaxPlacer(db, tree),
+        "f32": JaxPlacer(db, tree, config=PlacerConfig(pair_plane="off")),
         "int16": JaxPlacer(db, tree, config=PlacerConfig(precision="int16")),
     }
     staged = {}
@@ -61,7 +62,8 @@ def main(argv=None) -> None:
         out = fn(*arrays)
         np.asarray(out)  # compile + settle
         staged[name] = (fn, arrays)
-        log(f"{name}: staged (plane dtype {p._plane_s.dtype})")
+        log(f"{name}: staged (plane dtype {p._plane_s.dtype}, "
+            f"rows {p._plane_s.shape[0]}, paired={p._paired})")
 
     gb = args.batch * 144 * placers["f32"]._plane_w * 4 / 1e9
     for r in range(args.rounds):

@@ -739,6 +739,77 @@ class TestPairPlane:
         assert_equivalent(out_ref, p.place(reads))
 
 
+class TestAminoCodesPath:
+    """Generic-alphabet device path: on-device limb tokenization + radix-
+    index lookup (ops/radix_lookup.py) -- the amino analog of the DNA
+    bytes fast path."""
+
+    def _fixture(self, k=6, seed=21):
+        from epik_tpu.io.build import reads_from_reference, reference_like_db
+
+        db, ref = reference_like_db(num_leaves=48, kmer_size=k,
+                                    ref_length=20_000, mean_posting_len=6.0,
+                                    sequence_type="amino", seed=seed)
+        tree = parse_newick(db.tree())
+        reads = reads_from_reference(ref, 60, length=90, mutation_rate=0.04,
+                                     sequence_type="amino", seed=seed + 1)
+        reads += [("amb", reads[0][1][:30] + b"X" + reads[0][1][31:]),
+                  ("ambB", b"B" + reads[1][1][:50]),
+                  ("short", b"AC"), ("nohit", b"W" * 40)]
+        return db, tree, reads
+
+    def test_matches_oracle(self):
+        db, tree, reads = self._fixture()
+        p = JaxPlacer(db, tree)
+        assert p._fast_codes, "amino fixture must take the codes fast path"
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_equivalent(out_ref, p.place(reads))
+
+    def test_k9_wide_keys(self):
+        """k=9 amino keys are 39 bits: limb tokenization + shift > 16."""
+        db, tree, reads = self._fixture(k=9, seed=41)
+        p = JaxPlacer(db, tree)
+        assert p._fast_codes and p._radix.shift > 16
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_equivalent(out_ref, p.place(reads))
+
+    def test_matches_host_path(self):
+        """Device codes path and forced host tokenize produce identical
+        placements (same plane, same math, different lookup site)."""
+        from epik_tpu.engine.placer import PlacerConfig
+
+        db, tree, reads = self._fixture()
+        dev = JaxPlacer(db, tree)
+        host = JaxPlacer(db, tree, config=PlacerConfig(tokenize_where="host"))
+        assert dev._fast_codes and not host._fast_codes
+        assert_equivalent(host.place(reads), dev.place(reads))
+
+    def test_radix_lookup_exact(self):
+        """radix_lookup vs np.searchsorted on random uint64 keys."""
+        import jax.numpy as jnp
+
+        from epik_tpu.ops.radix_lookup import build_radix, radix_lookup
+
+        rng = np.random.default_rng(3)
+        key_bits = 39
+        keys = np.unique(rng.integers(0, 1 << key_bits, 5000, dtype=np.uint64))
+        idx = build_radix(keys, key_bits)
+        queries = np.concatenate([
+            keys[rng.integers(0, keys.size, 2000)],
+            rng.integers(0, 1 << key_bits, 2000, dtype=np.uint64),
+        ])
+        a = (queries >> np.uint64(16)).astype(np.uint32)
+        b = (queries & np.uint64(0xFFFF)).astype(np.uint32)
+        off, low = idx.device_arrays()
+        got = np.asarray(radix_lookup(off, low, jnp.asarray(a), jnp.asarray(b),
+                                      shift=idx.shift, n_probe=idx.max_bucket,
+                                      n_keys=keys.size))
+        pos = np.searchsorted(keys, queries)
+        pos_c = np.minimum(pos, keys.size - 1)
+        want = np.where(keys[pos_c] == queries, pos_c, keys.size)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestClassicPlane:
     """plane_mode="classic" (exact per-branch counts) stays oracle-matched
     now that the default is shifted."""
