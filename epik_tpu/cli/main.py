@@ -82,10 +82,24 @@ def epik():
               help="Print the pipeline stage-time breakdown.")
 @click.option("--profile-dir", type=click.Path(), default=None,
               help="Capture a jax profiler trace of the run into this directory.")
+@click.option("--precision", type=click.Choice(["exact", "int16", "bf16"]),
+              default="exact", show_default=True,
+              help="Dense-plane storage: exact f32, int16 quantized shifted "
+                   "grid (half the plane bytes, parity-clean), or bf16 "
+                   "(fast but outside the 1e-4 parity gate).")
+@click.option("--plane-mode", type=click.Choice(["shifted", "classic"]),
+              default="shifted", show_default=True,
+              help="Dense scoring formulation (classic materializes exact "
+                   "per-branch counts; shifted is the single-reduce fast path).")
+@click.option("--pair-plane", type=click.Choice(["auto", "on", "off"]),
+              default="auto", show_default=True,
+              help="(k+1)-mer pair plane: one row gather per two windows "
+                   "when the combined plane fits HBM.")
 @click.argument("input_file", type=click.Path(exists=True))
 def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
           keep_at_most, keep_factor, engine, n_model, platform, inflight,
-          resume, verbose, profile_dir, input_file):
+          resume, verbose, profile_dir, precision, plane_mode, pair_plane,
+          input_file):
     """Places .fasta files using the input phylo-k-mer database.
 
     epik place -s [nucl|amino] -i DB.eptk -o output file.fasta
@@ -98,7 +112,8 @@ def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
         database, states, omega, mu, outputdir, threads, max_ram, input_file,
         batch_size=batch_size, keep_at_most=keep_at_most, keep_factor=keep_factor,
         engine=engine, resume=resume, verbose=verbose, profile_dir=profile_dir,
-        n_model=n_model, inflight=inflight,
+        n_model=n_model, inflight=inflight, precision=precision,
+        plane_mode=plane_mode, pair_plane=pair_plane,
     )
     if rc:
         raise SystemExit(rc)
@@ -144,7 +159,8 @@ def make_output_filename(input_file: str, output_dir: str) -> str:
 def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
                   input_file, batch_size=2000, keep_at_most=7, keep_factor=0.01,
                   engine="jax", invocation=None, resume=False, verbose=False,
-                  profile_dir=None, n_model=1, inflight=3) -> int:
+                  profile_dir=None, n_model=1, inflight=3, precision="exact",
+                  plane_mode="shifted", pair_plane="auto") -> int:
     """Full pipeline orchestration (reference: main.cpp:237-383)."""
     if not (0.0 <= mu <= 1.0):
         click.echo("Error: Mu has to a value in [0, 1]", err=True)
@@ -206,7 +222,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
         from ..parallel.sharding import ShardedJaxPlacer
 
         mesh = make_mesh(n_model=n_model)
-        cfg = PlacerConfig(host_threads=max(1, threads))
+        cfg = PlacerConfig(host_threads=max(1, threads), precision=precision,
+                           plane_mode=plane_mode, pair_plane=pair_plane)
         placer = ShardedJaxPlacer(db, tree, mesh, keep_at_most=keep_at_most,
                                   keep_factor=keep_factor, config=cfg)
         engine_name = (
@@ -216,7 +233,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
     else:
         from ..engine.placer import JaxPlacer, PlacerConfig
 
-        cfg = PlacerConfig(host_threads=max(1, threads))
+        cfg = PlacerConfig(host_threads=max(1, threads), precision=precision,
+                           plane_mode=plane_mode, pair_plane=pair_plane)
         placer = JaxPlacer(db, tree, keep_at_most=keep_at_most,
                            keep_factor=keep_factor, config=cfg)
         import jax

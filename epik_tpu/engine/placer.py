@@ -134,14 +134,25 @@ class PlacerConfig:
     #: 2-window slot needs exactly one gather -- the row count halves
     #: unconditionally, no dynamic compaction.  Requires the bytes fast path
     #: (DNA, k <= 12 so the 4**(k+1) direct table fits), shifted mode, f32
-    #: plane, and the combined plane within dense_db_budget; "auto" silently
-    #: falls back when any condition fails, "off" disables.
+    #: plane, and the combined plane within pair_plane_budget; "auto"
+    #: silently falls back when any condition fails, "off" disables.
     pair_plane: str = "auto"
+    #: HBM cap for the COMBINED (base + pair) plane.  Separate from
+    #: dense_db_budget: the pair count is DB-dependent (reference-contiguous
+    #: DBs pair ~1.2x the key count; dense random key sets up to 4x), and a
+    #: v5e has 16 GB -- the combined plane may own most of it.
+    pair_plane_budget: int = 10 << 30
 
 
 def _bucket(n: int, lo: int) -> int:
     """Round up to a power of two (bounded jit-cache growth)."""
     return 1 << max(lo.bit_length() - 1, (max(n, 1) - 1).bit_length())
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _plane_fill(plane, start, vals):
+    """In-place (donated) row-range write used by the pair-plane build."""
+    return jax.lax.dynamic_update_slice(plane, vals, (start, jnp.int32(0)))
 
 
 @functools.partial(
@@ -1409,22 +1420,26 @@ class JaxPlacer(HostStaging):
             n_pairs = int(pu.shape[0])
             paired_bytes = (n_keys + 1 + n_pairs) * self._plane_w * 4
             if n_pairs > 0 and (
-                paired_bytes <= self.config.dense_db_budget
+                paired_bytes <= self.config.pair_plane_budget
                 or self.config.pair_plane == "on"
             ):
                 direct11 = np.full(4 ** (self.k + 1), -1, dtype=np.int32)
                 direct11[key11] = n_keys + 1 + np.arange(n_pairs, dtype=np.int32)
                 self._dev_direct11 = jnp.asarray(direct11)
-                # pair rows = f32 sum of the two shifted rows, built on
-                # device in chunks (bounded temporaries), then appended
-                chunks = [self._plane_s]
+                # combined plane built with donated in-place fills: peak HBM
+                # = final + one chunk (vs 2x final for a concatenate); pair
+                # rows = f32 sum of the two shifted rows, gathered from the
+                # already-filled base region of the same buffer
+                final = jnp.zeros((n_keys + 1 + n_pairs, self._plane_w),
+                                  plane_dtype)
+                final = _plane_fill(final, jnp.int32(0), self._plane_s)
+                self._plane_s = None
                 CH = 1 << 16
                 for s in range(0, n_pairs, CH):
-                    chunks.append(
-                        self._plane_s[jnp.asarray(pu[s : s + CH])]
-                        + self._plane_s[jnp.asarray(pv[s : s + CH])]
-                    )
-                self._plane_s = jnp.concatenate(chunks, axis=0)
+                    vals = (final[jnp.asarray(pu[s : s + CH])]
+                            + final[jnp.asarray(pv[s : s + CH])])
+                    final = _plane_fill(final, jnp.int32(n_keys + 1 + s), vals)
+                self._plane_s = final
                 self._paired = True
 
     def _enumerate_pairs(self, n_keys: int):

@@ -723,7 +723,7 @@ class TestPairPlane:
         assert not off._paired
         q = JaxPlacer(db, tree, config=PlacerConfig(precision="int16"))
         assert not q._paired  # int16 pair rows would overflow the grid
-        tiny = JaxPlacer(db, tree, config=PlacerConfig(dense_db_budget=(
+        tiny = JaxPlacer(db, tree, config=PlacerConfig(pair_plane_budget=(
             (db.num_kmers + 2) * 128 * 4)))
         assert tiny._dense_db and not tiny._paired  # combined over budget
         out_ref = ReferencePlacer(db, tree).place(reads)
