@@ -155,6 +155,29 @@ def _plane_fill(plane, start, vals):
     return jax.lax.dynamic_update_slice(plane, vals, (start, jnp.int32(0)))
 
 
+def enumerate_pairs(keys: np.ndarray, k: int, direct: np.ndarray, n_keys: int):
+    """Enumerate every (k+1)-mer whose prefix and suffix k-mers are both
+    DB keys: for each key u and each of the 4 suffix extensions c, the
+    pair exists iff v = (u mod 4**(k-1))*4 + c is also a key.  Returns
+    (pu, pv, key11): prefix row, suffix row, and the (k+1)-mer code of
+    each pair (vectorized; ~20 ms per 400k keys)."""
+    keys = keys.astype(np.uint64)
+    suf_core = (keys % np.uint64(4 ** (k - 1))) * np.uint64(4)
+    pu_l, pv_l, k11_l = [], [], []
+    for c in range(4):
+        v = suf_core + np.uint64(c)
+        vr = direct[v.astype(np.int64)]
+        m = vr != n_keys
+        pu_l.append(np.flatnonzero(m).astype(np.int32))
+        pv_l.append(vr[m].astype(np.int32))
+        k11_l.append((keys[m] * np.uint64(4) + np.uint64(c)).astype(np.int64))
+    return (
+        np.concatenate(pu_l),
+        np.concatenate(pv_l),
+        np.concatenate(k11_l),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("R", "B", "K", "P", "PA", "k", "seed1", "seed2", "dense", "interpret"),
@@ -1443,27 +1466,7 @@ class JaxPlacer(HostStaging):
                 self._paired = True
 
     def _enumerate_pairs(self, n_keys: int):
-        """Enumerate every (k+1)-mer whose prefix and suffix k-mers are both
-        DB keys: for each key u and each of the 4 suffix extensions c, the
-        pair exists iff v = (u mod 4**(k-1))*4 + c is also a key.  Returns
-        (pu, pv, key11): prefix row, suffix row, and the (k+1)-mer code of
-        each pair (vectorized; ~20 ms per 400k keys)."""
-        keys = self.db.keys.astype(np.uint64)
-        direct = self._direct_np
-        suf_core = (keys % np.uint64(4 ** (self.k - 1))) * np.uint64(4)
-        pu_l, pv_l, k11_l = [], [], []
-        for c in range(4):
-            v = suf_core + np.uint64(c)
-            vr = direct[v.astype(np.int64)]
-            m = vr != n_keys
-            pu_l.append(np.flatnonzero(m).astype(np.int32))
-            pv_l.append(vr[m].astype(np.int32))
-            k11_l.append((keys[m] * np.uint64(4) + np.uint64(c)).astype(np.int64))
-        return (
-            np.concatenate(pu_l),
-            np.concatenate(pv_l),
-            np.concatenate(k11_l),
-        )
+        return enumerate_pairs(self.db.keys, self.k, self._direct_np, n_keys)
 
     # -- lazily-built lookup structures -----------------------------------------
     # guarded by _lazy_lock: place() runs concurrently from the pipeline's

@@ -62,6 +62,8 @@ from ..engine.placer import (
     dense_sums_from_rows,
     dense_sums_shifted,
     device_tokenize_packed,
+    device_tokenize_paired,
+    enumerate_pairs,
     finish_scores,
     pack_reads,
     unpack_outputs,
@@ -357,6 +359,57 @@ def _sharded_dense_bytes_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "mesh", "R", "B", "bwl", "K", "Amax", "k", "Lmax", "num_kmers",
+        "log_eps", "eps",
+    ),
+)
+def _sharded_dense_paired_step(
+    plane_cols, direct, direct11, buf, arows, *,
+    mesh, R: int, B: int, bwl: int, K: int, Amax: int, k: int, Lmax: int,
+    num_kmers: int, log_eps: float, eps: float,
+):
+    """Column-sharded dense step over the PAIR plane (shifted-only).
+
+    Identical collective structure to :func:`_sharded_dense_bytes_step`;
+    the per-shard row gather runs over ceil(W/2) pair slots (each shard's
+    pair rows are the column-slices of the global pair rows, so the sums
+    compose per column exactly as in the single-chip engine)."""
+
+    def block(plane, direct, direct11, buf, arows):
+        plane = plane[0]
+        rows, lens = device_tokenize_paired(
+            buf, direct, direct11, k=k, Lmax=Lmax, num_kmers=num_kmers
+        )
+        f32 = jnp.float32
+        m_signed = lens - jnp.int32(k - 1)
+        m_f32 = jnp.where(
+            m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+        )
+        Wp = rows.shape[1]
+        Wpad = -(-Wp // 16) * 16
+        rows = jnp.pad(rows, ((0, 0), (0, Wpad - Wp)), constant_values=num_kmers)
+        Sp = dense_sums_shifted(plane, rows, R=R, B=bwl, Wmax=Wpad)
+        if Amax > 0:
+            Sp, _ = _apply_amb(Sp, None, plane, arows, R=R, B=bwl,
+                               Amax=Amax, k=k, eps=eps, log_eps=log_eps,
+                               shifted=True)
+        outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
+                                          log_eps=log_eps)
+        zero = jnp.int32(0)
+        return _pack_outputs(outs, zero, zero)[None]
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(plane_cols, direct, direct11, buf, arows)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "R", "B", "bwl", "K", "Wmax", "Amax", "k",
                      "log_eps", "eps", "shifted"),
 )
@@ -519,13 +572,12 @@ class ShardedJaxPlacer(HostStaging):
             and (db.scores.size == 0
                  or float(db.scores.min()) >= float(self.log_eps))
         )
+        self._paired = False
+        self._dev_direct11 = None
         if self._dense_db:
             planes, self._bwl = shard_db_columns(
                 db, self.n_model, self.B,
                 shifted=self._shifted, log_eps=float(self.log_eps),
-            )
-            self._plane_cols = jax.device_put(
-                planes, NamedSharding(mesh, P(MODEL_AXIS))
             )
             self._fast_bytes = (
                 cfg.tokenize_where in ("auto", "device")
@@ -533,12 +585,52 @@ class ShardedJaxPlacer(HostStaging):
                 and self.k <= 13
             )
             self._dev_direct = None
+            direct = None
             if self._fast_bytes:
                 direct = np.full(4**self.k, db.num_kmers, dtype=np.int32)
                 direct[db.keys.astype(np.int64)] = np.arange(
                     db.num_kmers, dtype=np.int32
                 )
                 self._dev_direct = jax.device_put(direct, NamedSharding(mesh, P()))
+            # (k+1)-mer pair plane, column-sharded: each shard's pair rows
+            # are the column slices of the global pair rows (sums compose
+            # per column), so the single-chip identity carries over shard
+            # by shard.  Budget is PER-DEVICE bytes, like the dense gate.
+            if (
+                self._fast_bytes
+                and self._shifted
+                and cfg.pair_plane in ("auto", "on")
+                and self.k + 1 <= 13
+                and db.num_kmers > 0
+            ):
+                n_keys = db.num_kmers
+                pu, pv, key11 = enumerate_pairs(db.keys, self.k, direct, n_keys)
+                n_pairs = int(pu.shape[0])
+                paired_bytes = (n_keys + 1 + n_pairs) * self._bwl * 4
+                if n_pairs > 0 and (
+                    paired_bytes <= cfg.pair_plane_budget
+                    or cfg.pair_plane == "on"
+                ):
+                    d11 = np.full(4 ** (self.k + 1), -1, dtype=np.int32)
+                    d11[key11] = n_keys + 1 + np.arange(n_pairs, dtype=np.int32)
+                    self._dev_direct11 = jax.device_put(
+                        d11, NamedSharding(mesh, P())
+                    )
+                    full = np.zeros(
+                        (self.n_model, n_keys + 1 + n_pairs, self._bwl),
+                        planes.dtype,
+                    )
+                    full[:, : n_keys + 1] = planes
+                    CH = 1 << 16
+                    for s in range(0, n_pairs, CH):
+                        full[:, n_keys + 1 + s : n_keys + 1 + s + CH] = (
+                            planes[:, pu[s : s + CH]] + planes[:, pv[s : s + CH]]
+                        )
+                    planes = full
+                    self._paired = True
+            self._plane_cols = jax.device_put(
+                planes, NamedSharding(mesh, P(MODEL_AXIS))
+            )
             self._sdb = None
         else:
             self._fast_bytes = False
@@ -615,13 +707,23 @@ class ShardedJaxPlacer(HostStaging):
                 arows = np.zeros((R_tot, 0), np.int32)
 
             buf = pack_reads(codes, lens_pad)
-            out = _sharded_dense_bytes_step(
-                self._plane_cols, self._dev_direct, buf, arows,
-                mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
-                Amax=Amax, k=self.k, Lmax=Lmax, num_kmers=self.db.num_kmers,
-                log_eps=float(self.log_eps), eps=float(self.eps),
-                shifted=self._shifted,
-            )
+            if self._paired:
+                out = _sharded_dense_paired_step(
+                    self._plane_cols, self._dev_direct, self._dev_direct11,
+                    buf, arows,
+                    mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
+                    Amax=Amax, k=self.k, Lmax=Lmax,
+                    num_kmers=self.db.num_kmers,
+                    log_eps=float(self.log_eps), eps=float(self.eps),
+                )
+            else:
+                out = _sharded_dense_bytes_step(
+                    self._plane_cols, self._dev_direct, buf, arows,
+                    mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
+                    Amax=Amax, k=self.k, Lmax=Lmax, num_kmers=self.db.num_kmers,
+                    log_eps=float(self.log_eps), eps=float(self.eps),
+                    shifted=self._shifted,
+                )
             return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
 
         # host tokenize + host lookup (any alphabet / k; also len<k batches)

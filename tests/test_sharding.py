@@ -244,3 +244,45 @@ class TestShardedShifted:
         assert sharded._shifted
         ref = ReferencePlacer(db, tree)
         assert_equivalent(ref.place(reads), sharded.place(reads))
+
+
+class TestShardedPairPlane:
+    """Column-sharded (k+1)-mer pair plane: per-shard pair rows are the
+    column slices of the global pair rows, so the single-chip identity
+    (one gather per two windows) carries over shard by shard."""
+
+    def _fixture(self):
+        from epik_tpu.io.build import reads_from_reference, reference_like_db
+
+        db, ref = reference_like_db(num_leaves=48, kmer_size=8,
+                                    ref_length=30_000, mean_posting_len=6.0,
+                                    seed=61)
+        tree = parse_newick(db.tree())
+        reads = reads_from_reference(ref, 40, length=101, mutation_rate=0.05,
+                                     seed=62)
+        reads += [("amb", reads[0][1][:40] + b"N" + reads[0][1][41:]),
+                  ("short", b"AC"), ("nohit", b"T" * 30)]
+        return db, tree, reads
+
+    @pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4), (8, 1)])
+    def test_paired_matches_oracle(self, n_data, n_model):
+        from test_jax_engine import assert_jplace_close
+
+        db, tree, reads = self._fixture()
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        sharded = ShardedJaxPlacer(db, tree, mesh)
+        assert sharded._paired, "fixture must activate the sharded pair plane"
+        ref = ReferencePlacer(db, tree)
+        assert_jplace_close(ref.place(reads), sharded.place(reads))
+
+    def test_pair_off_budget(self):
+        from epik_tpu.engine.placer import PlacerConfig
+
+        db, tree, reads = self._fixture()
+        mesh = make_mesh(n_data=4, n_model=2)
+        off = ShardedJaxPlacer(db, tree, mesh,
+                               config=PlacerConfig(pair_plane="off"))
+        assert not off._paired
+        tiny = ShardedJaxPlacer(db, tree, mesh, config=PlacerConfig(
+            pair_plane_budget=(db.num_kmers + 2) * 128 * 4))
+        assert tiny._dense_db and not tiny._paired
