@@ -937,6 +937,78 @@ def device_tokenize_paired(buf, direct, direct11, *, k: int, Lmax: int,
     return jnp.where(prow_e >= 0, prow_e, single), lens
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "R", "B", "K", "k", "Lmax", "num_kmers", "PT", "tr", "ch", "interpret",
+    ),
+)
+def _place_batch_tiles_bytes(
+    tiles,
+    direct,
+    buf,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    k: int,
+    Lmax: int,
+    num_kmers: int,
+    PT: int,
+    log_eps,
+    eps,
+    tr: int = 8,
+    ch: int = 512,
+    interpret: bool = False,
+):
+    """Big-tree fast path: posting-TILE plane + one-hot MXU accumulate.
+
+    When the dense (keys x branches) plane exceeds HBM (10k+ taxa), the
+    old CSR path fetched each posting with a per-cell 8-byte gather --
+    ~16M tiny gathers per batch, the measured bottleneck (4.7k reads/s at
+    B=20k vs 19.4k for the scalar C++ baseline).  This path instead
+    pre-materializes per-key padded posting tiles
+    ``tiles: (n_keys+1, 2*PT) u32`` ([branch | shifted-score-bits] pairs,
+    trash-padded; row n_keys all-trash for misses), so each window costs
+    ONE contiguous row gather -- the same access pattern that makes the
+    dense plane fast, at 2*PT*4 bytes/row instead of 4*B.  Accumulation
+    is the digit-decomposed one-hot MXU kernel, sum-only: tile scores are
+    stored SHIFTED (s - log10(eps)), so the count contraction cancels and
+    corrected = (S' + m*log_eps)/k (finish_scores_shifted).
+
+    Ambiguity is not handled here -- batches with ambiguous reads fall
+    back to the classic CSR path at staging (the rare path).
+
+    Reference analog: posting-list walk + SIMD update_vector
+    (place.cpp:349-371, intrinsic.h) with the |tree|-wide scatter replaced
+    by MXU contractions.
+    """
+    from ..ops.pallas.accumulate import segment_accumulate_sums, trash_branch
+
+    i32 = jnp.int32
+    f32 = jnp.float32
+    rows, lens = device_tokenize_packed(
+        buf, direct, k=k, Lmax=Lmax, num_kmers=num_kmers
+    )
+    m_signed = lens - i32(k - 1)
+    m_f32 = jnp.where(
+        m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+    )
+    W = rows.shape[1]
+    g = tiles[rows]  # (R, W, 2*PT) u32: one row gather per window
+    g = g.reshape(R, W * PT, 2)
+    b = g[..., 0].astype(i32)
+    s = jax.lax.bitcast_convert_type(g[..., 1], f32)
+    pp = W * PT
+    pp_pad = -(-pp // ch) * ch
+    trash = trash_branch(B)
+    b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
+    s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
+    Sp = segment_accumulate_sums(b, s, B, tr=tr, ch=ch, interpret=interpret)
+    outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+    return _pack_outputs_slim(outs)
+
+
 def device_tokenize_codes(buf, *, k: int, sigma: int, Lmax: int):
     """On-device window keys for generic-alphabet codes (the amino path).
 
@@ -1315,6 +1387,12 @@ class JaxPlacer(HostStaging):
         self._host_lookup = (
             self._dense_db and self.config.lookup_where in ("auto", "host")
         )
+        #: shifted-score validity: every stored score >= log10(eps) (the
+        #: load contract, quirk Q10) -- hand-built fixtures can violate it
+        self._shift_ok = (
+            db.scores.size == 0
+            or float(db.scores.min()) >= float(self.log_eps)
+        )
         # device-tokenize fast path: DNA with a direct-address key->row
         # table (4**k int32, k <= 13 -> <= 268 MB HBM); no hash table at all
         self._fast_bytes = (
@@ -1323,9 +1401,29 @@ class JaxPlacer(HostStaging):
             and self.alphabet.sigma == 4
             and self.k <= 13
         )
+        # posting-TILE mode: the big-tree fast path when the dense plane
+        # does NOT fit (see _place_batch_tiles_bytes).  Requires the matmul
+        # accumulate (MXU kernel), shifted-valid scores, and a bounded max
+        # posting length (tiles are (n_keys+1, 2*PT); a hot k-mer with a
+        # huge posting list would blow the tile width -- fall back to CSR).
+        self._tile_pt = -(-max(self._max_plen, 1) // 8) * 8
+        tiles_bytes = (n_keys + 1) * self._tile_pt * 8
+        self._tiles_mode = (
+            not self._dense_db
+            and self._dense
+            and self.config.tokenize_where in ("auto", "device")
+            and self.config.precision == "exact"
+            and self.alphabet.sigma == 4
+            and self.k <= 13
+            and self._shift_ok
+            and n_keys > 0
+            and self._max_plen <= 64
+            and tiles_bytes <= self.config.dense_db_budget
+        )
+        self._dev_tiles_cache = None
         self._dev_direct = None
         self._direct_np = None
-        if self._fast_bytes:
+        if self._fast_bytes or self._tiles_mode:
             direct = np.full(4**self.k, n_keys, dtype=np.int32)
             direct[db.keys.astype(np.int64)] = np.arange(n_keys, dtype=np.int32)
             self._dev_direct = jnp.asarray(direct)
@@ -1342,8 +1440,7 @@ class JaxPlacer(HostStaging):
                  or self.config.precision == "int16")
             and self.config.precision in ("exact", "int16")
             and self._host_lookup  # device-cuckoo dense path stays classic
-            and (db.scores.size == 0
-                 or float(db.scores.min()) >= float(self.log_eps))
+            and self._shift_ok
         )
         # int16 quantized plane: shifted-only (values live in [0, -log_eps])
         self._plane_q = self._shifted and self.config.precision == "int16"
@@ -1473,6 +1570,44 @@ class JaxPlacer(HostStaging):
     # worker threads (engine/pipeline.py), and the cuckoo build is seconds
 
     @property
+    def _dev_tiles(self):
+        """Posting-tile plane (n_keys+1, 2*PT) u32, built on first use.
+
+        Interleaved [branch | shifted-score-bits] pairs per key, trash-
+        padded; row n_keys is all-trash (the miss row).  ~2*PT*4 bytes per
+        key (206 MB for the 10k-taxa bench DB) versus 4*B for the dense
+        plane (48 GiB at that shape)."""
+        if self._dev_tiles_cache is None:
+            with self._lazy_lock:
+                if self._dev_tiles_cache is None:
+                    from ..ops.pallas.accumulate import trash_branch
+
+                    db = self.db
+                    n = db.num_kmers
+                    PT = self._tile_pt
+                    til = np.empty((n + 1, 2 * PT), np.uint32)
+                    til[:, 0::2] = np.uint32(trash_branch(self.B))
+                    til[:, 1::2] = np.float32(0.0).view(np.uint32)
+                    lens = self._lens.astype(np.int64)
+                    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+                    cols = (
+                        np.arange(rows.shape[0], dtype=np.int64)
+                        - np.repeat(db.row_off[:-1], lens)
+                    )
+                    til[rows, 2 * cols] = db.branches.astype(np.uint32)
+                    shifted = (
+                        db.scores.astype(np.float64) - float(self.log_eps)
+                    ).astype(np.float32)
+                    # threshold-boundary scores (s == log10(eps)) shift to
+                    # exactly 0, which would drop the branch from the
+                    # "touched" test (S' > 0); nudge to a tiny normal
+                    # positive like the dense shifted plane
+                    shifted = np.where(shifted <= 0.0, np.float32(1e-37), shifted)
+                    til[rows, 2 * cols + 1] = shifted.view(np.uint32)
+                    self._dev_tiles_cache = jnp.asarray(til)
+        return self._dev_tiles_cache
+
+    @property
     def table(self):
         """Cuckoo table, built on first use (device-lookup paths only)."""
         if self._table is None:
@@ -1559,7 +1694,7 @@ class JaxPlacer(HostStaging):
         if R == 0:
             return _Pending(sequence_map, [], None, None, None, None)
 
-        if self._fast_bytes:
+        if self._fast_bytes or self._tiles_mode:
             pending = self._place_async_bytes(sequence_map, seqs)
             if pending is not None:
                 return pending
@@ -1691,6 +1826,20 @@ class JaxPlacer(HostStaging):
         # excludes every window touching a non-exact character)
         codes = self.alphabet.char_code[mat]
         amb_mask = ((codes >= 0x80) & (codes != 0xFF)).any(axis=1)
+        if self._tiles_mode:
+            if amb_mask.any():
+                return None  # rare: classic CSR path handles ambiguity
+            K = min(cfg.keep_at_most, self.B)
+            buf = pack_reads(codes, lens_pad)
+            fn = functools.partial(
+                _place_batch_tiles_bytes,
+                R=R, B=self.B, K=K, k=self.k, Lmax=Lmax,
+                num_kmers=self.db.num_kmers, PT=self._tile_pt,
+                log_eps=float(self.log_eps), eps=float(self.eps),
+                interpret=self._interpret,
+            )
+            arrays = (self._dev_tiles, self._dev_direct, jnp.asarray(buf))
+            return fn, arrays, m_signed, R_true, K
         if amb_mask.any():
             idxs = np.flatnonzero(amb_mask)
             tok = self._tokenize([seqs[i] for i in idxs])

@@ -25,7 +25,8 @@ def main(argv=None):
     ap.add_argument("--leaves", type=int, default=10000)
     ap.add_argument("--ref-len", type=int, default=1_000_000)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=4000)
+    ap.add_argument("--inflight", type=int, default=4)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -49,27 +50,28 @@ def main(argv=None):
     reads = reads_from_reference(ref, args.reads, length=150,
                                  mutation_rate=0.02, seed=11)
 
-    placer = JaxPlacer(db, tree)  # auto: dense planes exceed budget -> CSR
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..engine.placer import PlacerConfig
+
+    cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2))
+    placer = JaxPlacer(db, tree, config=cfg)  # auto: planes exceed budget -> CSR
     log(f"mode: {'dense' if placer._dense_db else 'csr'} "
         f"(plane would be {(db.num_kmers + 1) * tree.get_node_count() * 4 / 2**30:.1f} GiB)")
     t_w = time.time()
     placer.place(reads[: args.batch])
     log(f"warmup {time.time()-t_w:.0f}s")
 
+    pool = ThreadPoolExecutor(max_workers=args.inflight)
     best = 0.0
     for p in range(3):
         t_run = time.time()
-        pend = None
-        placed = 0
-        for s in range(0, args.reads, args.batch):
-            h = placer.place_async(reads[s : s + args.batch])
-            if pend is not None:
-                placer.place_wait(pend[0])
-                placed += pend[1]
-            pend = (h, len(reads[s : s + args.batch]))
-        placer.place_wait(pend[0])
-        placed += pend[1]
-        rps = placed / (time.time() - t_run)
+        futs = [pool.submit(placer.place, reads[s : s + args.batch])
+                for s in range(0, args.reads, args.batch)]
+        for f in futs:
+            f.result()
+        rps = args.reads / (time.time() - t_run)
         log(f"pass {p + 1}: {rps:.0f} reads/s")
         best = max(best, rps)
 

@@ -810,6 +810,79 @@ class TestAminoCodesPath:
         np.testing.assert_array_equal(got, want)
 
 
+class TestTilesPath:
+    """Posting-tile plane (the big-tree fast path): one row gather per
+    window from (n_keys+1, 2*PT) tiles + sum-only one-hot MXU accumulate
+    (interpret mode on CPU)."""
+
+    def _fixture(self):
+        from epik_tpu.io.build import reads_from_reference, reference_like_db
+
+        db, ref = reference_like_db(num_leaves=96, kmer_size=10,
+                                    ref_length=40_000, mean_posting_len=6.0,
+                                    seed=71)
+        tree = parse_newick(db.tree())
+        reads = reads_from_reference(ref, 50, length=121, mutation_rate=0.05,
+                                     seed=72)
+        reads += reads_from_reference(ref, 6, length=80, mutation_rate=0.4,
+                                      seed=73)
+        reads += [("short", b"AC"), ("nohit", b"T" * 30)]
+        return db, tree, reads
+
+    def _placer(self, db, tree, **kw):
+        from epik_tpu.engine.placer import PlacerConfig
+
+        cfg = PlacerConfig(dense_db="off", accumulate="matmul", **kw)
+        p = JaxPlacer(db, tree, config=cfg)
+        assert p._tiles_mode, "fixture must take the tiles path"
+        return p
+
+    def test_matches_oracle(self):
+        db, tree, reads = self._fixture()
+        p = self._placer(db, tree)
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_jplace_close(out_ref, p.place(reads))
+
+    def test_amb_batch_falls_back_to_csr(self):
+        """A batch containing ambiguous reads routes to the classic CSR
+        path and still matches the oracle."""
+        db, tree, reads = self._fixture()
+        p = self._placer(db, tree)
+        reads = reads[:8] + [("amb", reads[0][1][:40] + b"N" + reads[0][1][41:])]
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_jplace_close(out_ref, p.place(reads))
+
+    def test_threshold_boundary_score_places(self):
+        """A posting at exactly log10(eps) shifts to the nudged epsilon and
+        must still be reported (touched)."""
+        db, tree, _ = self._fixture()
+        import numpy as np
+
+        # force one posting to the exact threshold
+        db.scores[0] = np.float32(
+            np.log10(np.float32(1.5 / 4) ** db.kmer_size)
+        )
+        p = self._placer(db, tree)
+        from epik_tpu.core.alphabet import DNA
+
+        read = DNA.decode_key(int(db.keys[0]), db.kmer_size).encode()
+        out_ref = ReferencePlacer(db, tree).place([("r", read)])
+        assert_jplace_close(out_ref, p.place([("r", read)]))
+
+    def test_hot_kmer_disables_tiles(self):
+        """max posting length > 64 falls back (tile width would blow up)."""
+        from epik_tpu.engine.placer import PlacerConfig
+        from epik_tpu.io.build import random_db
+
+        db = random_db(num_leaves=80, kmer_size=8, num_kmers=512,
+                       mean_posting_len=60.0, seed=74)
+        assert int(np.diff(db.row_off).max()) > 64
+        tree = parse_newick(db.tree())
+        p = JaxPlacer(db, tree,
+                      config=PlacerConfig(dense_db="off", accumulate="matmul"))
+        assert not p._tiles_mode
+
+
 class TestClassicPlane:
     """plane_mode="classic" (exact per-branch counts) stays oracle-matched
     now that the default is shifted."""
