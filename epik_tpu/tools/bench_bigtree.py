@@ -57,7 +57,9 @@ def main(argv=None):
 
     cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2))
     placer = JaxPlacer(db, tree, config=cfg)  # auto: planes exceed budget -> CSR
-    log(f"mode: {'dense' if placer._dense_db else 'csr'} "
+    mode = ("posting_tiles" if placer._tiles_mode
+            else "dense" if placer._dense_db else "csr")
+    log(f"mode: {mode} "
         f"(plane would be {(db.num_kmers + 1) * tree.get_node_count() * 4 / 2**30:.1f} GiB)")
     t_w = time.time()
     placer.place(reads[: args.batch])
@@ -75,11 +77,15 @@ def main(argv=None):
         log(f"pass {p + 1}: {rps:.0f} reads/s")
         best = max(best, rps)
 
+    base = 19437.2  # native C++ scalar -j1, bench_rows_load_bigtreebase_r03
     print(json.dumps({
         "metric": "bigtree_reads_per_sec_per_chip",
         "value": round(best, 1),
         "unit": "reads/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(best / base, 2),
+        "baseline_native_scalar": base,
+        "mode": "posting_tiles" if placer._tiles_mode else (
+            "dense" if placer._dense_db else "csr"),
         "branches": tree.get_node_count(),
         "kmers": db.num_kmers,
     }))
