@@ -120,6 +120,12 @@ def main() -> None:
             placed += BATCH
         return placed / (time.time() - t_run)
 
+    # one untimed steady-state pass: the first timed pass otherwise pays
+    # XLA autotuning + first-touch HBM paging of the multi-GB plane
+    # (observed as a consistently ~2x-depressed pass 1)
+    warm_rate = tpu_pass()
+    log(f"steady-state warmup pass: {warm_rate:.0f} reads/s (untimed)")
+
     # --- baseline pass: faithful scalar C++ placer, single thread --------------
     # (the reference binary itself cannot be built here: its i2l submodule
     # is empty; this is the same algorithm at native speed)

@@ -55,14 +55,16 @@ def main(argv=None) -> int:
 
     cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2))
     mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
-    engines = {
-        "jax": JaxPlacer(db, tree, config=cfg),
-        "sharded_1x1": ShardedJaxPlacer(db, tree, mesh, config=cfg),
-    }
 
     pool = ThreadPoolExecutor(max_workers=args.inflight)
     rates = {}
-    for name, placer in engines.items():
+    # engines are built and measured SEQUENTIALLY: each may own a multi-GB
+    # (pair) plane, and two resident planes exhaust one chip's HBM
+    for name in ("jax", "sharded_1x1"):
+        if name == "jax":
+            placer = JaxPlacer(db, tree, config=cfg)
+        else:
+            placer = ShardedJaxPlacer(db, tree, mesh, config=cfg)
         t_w = time.time()
         placer.place(reads[: args.batch])  # warmup/compile
         log(f"{name}: warmup {time.time() - t_w:.1f}s")
@@ -77,6 +79,10 @@ def main(argv=None) -> int:
             log(f"{name} pass {p + 1}: {rps:.0f} reads/s")
             best = max(best, rps)
         rates[name] = best
+        del placer
+        import gc
+
+        gc.collect()
 
     ratio = rates["sharded_1x1"] / rates["jax"]
     print(json.dumps({

@@ -101,6 +101,9 @@ def main(argv=None) -> int:
                                   config=PlacerConfig(plane_mode="shifted"))),
         ("jax_int16", JaxPlacer(db, tree,
                                 config=PlacerConfig(precision="int16"))),
+        ("jax_tiles", JaxPlacer(db, tree,
+                                config=PlacerConfig(dense_db="off",
+                                                    accumulate="matmul"))),
         ("sharded_1x1", ShardedJaxPlacer(db, tree, mesh11)),
     ]
     paths = {}
@@ -124,6 +127,32 @@ def main(argv=None) -> int:
         total_matched += res.num_matches
         total_reads += res.num_seqs
         all_clean &= res.clean
+
+    # --- amino mixed case: device codes path (radix lookup) vs oracle --------
+    amb_db = random_db(num_leaves=64, kmer_size=6, num_kmers=12000, seed=88,
+                       sequence_type="amino")
+    amb_tree = parse_newick(amb_db.tree())
+    amb_reads = _mixed_case_reads(amb_db, n=100)
+    amb_nwk = to_newick(amb_tree, jplace_edges=True)
+    amb_engines = [
+        ("oracle", ReferencePlacer(amb_db, amb_tree)),
+        ("jax_amino", JaxPlacer(amb_db, amb_tree)),
+    ]
+    amb_paths = {}
+    for name, engine in amb_engines:
+        out = engine.place(amb_reads)
+        path = os.path.join(args.workdir, f"amino_{name}.jplace")
+        w = jplace_writer(path, f"verify_tpu amino {name} ", amb_nwk)
+        w.start()
+        w << out
+        w.end()
+        amb_paths[name] = path
+    res = jplace_diff(amb_paths["oracle"], amb_paths["jax_amino"])
+    print(f"amino jax: {res.num_matches}/{res.num_seqs} match", file=sys.stderr)
+    mixed["jax_amino"] = {"matched": res.num_matches, "total": res.num_seqs}
+    total_matched += res.num_matches
+    total_reads += res.num_seqs
+    all_clean &= res.clean
 
     ok = cases_passed == len(cases) and all_clean
     print(json.dumps({
