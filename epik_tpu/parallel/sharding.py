@@ -125,6 +125,44 @@ def shard_db_columns(db: PhyloKmerDB, n_model: int, num_branches: int,
     return planes, bwl
 
 
+def shard_tiles_columns(db: PhyloKmerDB, n_model: int, B: int,
+                        log_eps: float):
+    """Column-sharded posting tiles for the big-tree mode.
+
+    Shard m keeps, per key, only the postings whose branch falls in its
+    block [m*bwl, (m+1)*bwl), re-based to local ids, as interleaved
+    [branch | shifted-score-bits] pairs trash-padded to a common PT (the
+    max per-shard local posting count).  Returns
+    (tiles uint32[n_model, n_keys+1, 2*PT], bwl, PT)."""
+    from ..ops.pallas.accumulate import trash_branch
+
+    n_keys = db.num_kmers
+    bwl = -(-B // (128 * n_model)) * 128
+    lens = np.diff(db.row_off)
+    rows_pp = np.repeat(np.arange(n_keys, dtype=np.int64), lens)
+    br = db.branches.astype(np.int64)
+    shard = br // bwl
+    shifted = (db.scores.astype(np.float64) - float(log_eps)).astype(np.float32)
+    shifted = np.where(shifted <= 0.0, np.float32(1e-37), shifted)
+    sbits = shifted.view(np.uint32)
+
+    counts = np.zeros((n_model, n_keys), np.int64)
+    np.add.at(counts, (shard, rows_pp), 1)
+    PT = -(-max(int(counts.max()), 1) // 8) * 8
+    tiles = np.empty((n_model, n_keys + 1, 2 * PT), np.uint32)
+    tiles[:, :, 0::2] = np.uint32(trash_branch(bwl))
+    tiles[:, :, 1::2] = np.float32(0.0).view(np.uint32)
+    for m in range(n_model):
+        mask = shard == m
+        rows_m = rows_pp[mask]  # nondecreasing (rows_pp sorted)
+        cm = counts[m]
+        starts = np.concatenate([[0], np.cumsum(cm)])[:-1]
+        cols = np.arange(rows_m.size, dtype=np.int64) - np.repeat(starts, cm)
+        tiles[m, rows_m, 2 * cols] = (br[mask] - m * bwl).astype(np.uint32)
+        tiles[m, rows_m, 2 * cols + 1] = sbits[mask]
+    return tiles, bwl, PT
+
+
 @dataclasses.dataclass
 class _ShardedDB:
     """Stacked per-shard cuckoo tables + posting arrays (leading model axis)."""
@@ -410,6 +448,69 @@ def _sharded_dense_paired_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "mesh", "R", "B", "bwl", "K", "k", "Lmax", "num_kmers", "PT",
+        "log_eps", "eps", "interpret",
+    ),
+)
+def _sharded_tiles_bytes_step(
+    tiles_cols, direct, buf, *,
+    mesh, R: int, B: int, bwl: int, K: int, k: int, Lmax: int,
+    num_kmers: int, PT: int, log_eps: float, eps: float,
+    interpret: bool = False,
+):
+    """Column-sharded posting-TILE step: the big-tree mode across chips.
+
+    Each model shard owns the branch block [m*bwl, (m+1)*bwl) and keeps
+    per-key tiles of ONLY its local postings (branch ids re-based to the
+    block).  Tokenization runs redundantly per shard (cheap VPU work
+    against the replicated packed buffer); each shard row-gathers its own
+    tiles and accumulates with the sum-only one-hot MXU kernel; the merge
+    is the same O(R*K*n_model) collective tail as the dense sharded mode
+    (finish_scores_cols_shifted).  Engine analog:
+    engine/placer.py::_place_batch_tiles_bytes."""
+
+    def block(tiles, direct, buf):
+        from ..ops.pallas.accumulate import segment_accumulate_sums, trash_branch
+
+        tiles = tiles[0]
+        i32 = jnp.int32
+        f32 = jnp.float32
+        rows, lens = device_tokenize_packed(
+            buf, direct, k=k, Lmax=Lmax, num_kmers=num_kmers
+        )
+        m_signed = lens - i32(k - 1)
+        m_f32 = jnp.where(
+            m_signed >= 0, m_signed.astype(f32),
+            f32(float(_U64)) + m_signed.astype(f32),
+        )
+        W = rows.shape[1]
+        g = tiles[rows].reshape(R, W * PT, 2)
+        b = g[..., 0].astype(i32)
+        s = jax.lax.bitcast_convert_type(g[..., 1], f32)
+        pp = W * PT
+        ch = 512
+        pp_pad = -(-pp // ch) * ch
+        trash = trash_branch(bwl)
+        b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
+        s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
+        Sp = segment_accumulate_sums(b, s, bwl, ch=ch, interpret=interpret)
+        outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
+                                          log_eps=log_eps)
+        zero = jnp.int32(0)
+        return _pack_outputs(outs, zero, zero)[None]
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(tiles_cols, direct, buf)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "R", "B", "bwl", "K", "Wmax", "Amax", "k",
                      "log_eps", "eps", "shifted"),
 )
@@ -574,6 +675,10 @@ class ShardedJaxPlacer(HostStaging):
         )
         self._paired = False
         self._dev_direct11 = None
+        self._tiles_mode = False
+        self._tile_pt = 0
+        self._dev_direct = None
+        self._dev_tiles = None
         if self._dense_db:
             planes, self._bwl = shard_db_columns(
                 db, self.n_model, self.B,
@@ -642,6 +747,42 @@ class ShardedJaxPlacer(HostStaging):
             self._dev_row_off = jax.device_put(sdb.row_off, spec_m)
             self._seed1 = np.array([s[0] for s in sdb.seeds], dtype=np.uint32)
             self._seed2 = np.array([s[1] for s in sdb.seeds], dtype=np.uint32)
+            # posting-TILE mode (big trees across chips): column-sharded
+            # tiles + sum-only MXU accumulate; CSR stays resident as the
+            # ambiguous-batch fallback.  Same gates as the engine's
+            # single-chip tiles mode (engine/placer.py).
+            lens = np.diff(db.row_off)
+            max_plen = int(lens.max()) if lens.size else 0
+            shift_ok = (db.scores.size == 0
+                        or float(db.scores.min()) >= float(self.log_eps))
+            dense_acc = cfg.accumulate == "matmul" or (
+                cfg.accumulate == "auto" and backend == "tpu"
+            )
+            if (
+                dense_acc
+                and cfg.tokenize_where in ("auto", "device")
+                and cfg.precision == "exact"
+                and self.alphabet.sigma == 4
+                and self.k <= 13
+                and shift_ok
+                and db.num_kmers > 0
+                and 0 < max_plen <= 64
+            ):
+                tiles, bwl_t, PT = shard_tiles_columns(
+                    db, self.n_model, self.B, float(self.log_eps)
+                )
+                if tiles.nbytes // self.n_model <= cfg.dense_db_budget:
+                    self._tiles_mode = True
+                    self._tile_pt = PT
+                    self._bwl = bwl_t
+                    self._dev_tiles = jax.device_put(tiles, spec_m)
+                    direct = np.full(4**self.k, db.num_kmers, dtype=np.int32)
+                    direct[db.keys.astype(np.int64)] = np.arange(
+                        db.num_kmers, dtype=np.int32
+                    )
+                    self._dev_direct = jax.device_put(
+                        direct, NamedSharding(mesh, P())
+                    )
 
     def _padded_batch_geometry(self, R_true: int) -> int:
         """Per-data-shard read count, bucketed to bound the jit cache."""
@@ -667,7 +808,47 @@ class ShardedJaxPlacer(HostStaging):
 
         if self._dense_db:
             return self._place_async_dense(sequence_map, seqs)
+        if self._tiles_mode:
+            pending = self._place_async_tiles(sequence_map, seqs)
+            if pending is not None:
+                return pending
         return self._place_async_csr(sequence_map, seqs)
+
+    def _place_async_tiles(self, sequence_map, seqs):
+        """Column-sharded posting-tile dispatch (big trees); returns None
+        for batches the mode cannot take (ambiguity, len < k) -- the CSR
+        path handles those."""
+        cfg = self.config
+        R_true = len(seqs)
+        R_loc = self._padded_batch_geometry(R_true)
+        R_tot = self.n_data * R_loc
+        K = min(cfg.keep_at_most, self.B)
+        lens_arr = np.fromiter((len(s) for s in seqs), np.int64, count=R_true)
+        m_signed = lens_arr - self.k + 1
+        Lmax_true = int(lens_arr.max())
+        if not (self.k <= Lmax_true <= 0xFFFF):
+            return None
+        Lmax = -(-Lmax_true // 8) * 8
+        flat = np.frombuffer(b"".join(seqs), np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens_arr)])
+        mat = np.zeros((R_tot, Lmax), np.uint8)
+        mat[np.repeat(np.arange(R_true), lens_arr),
+            np.arange(flat.size) - np.repeat(starts[:-1], lens_arr)] = flat
+        codes = self.alphabet.char_code[mat]
+        if ((codes >= 0x80) & (codes != 0xFF)).any():
+            return None  # ambiguity: the CSR fallback handles quirks Q6/Q7
+        lens_pad = np.zeros(R_tot, np.int64)
+        lens_pad[:R_true] = lens_arr
+        buf = pack_reads(codes, lens_pad)
+        out = _sharded_tiles_bytes_step(
+            self._dev_tiles, self._dev_direct, buf,
+            mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
+            k=self.k, Lmax=Lmax, num_kmers=self.db.num_kmers,
+            PT=self._tile_pt,
+            log_eps=float(self.log_eps), eps=float(self.eps),
+            interpret=self._interpret,
+        )
+        return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
 
     # -- dense (column-sharded) dispatch --------------------------------------
 

@@ -275,6 +275,27 @@ class TestShardedPairPlane:
         ref = ReferencePlacer(db, tree)
         assert_jplace_close(ref.place(reads), sharded.place(reads))
 
+    def test_sharded_tiles_matches_oracle(self):
+        """Column-sharded posting-tile mode (the big-tree path across
+        chips): per-shard local tiles + sum-only MXU accumulate (interpret
+        mode on CPU) against the scalar oracle, incl. the CSR fallback for
+        ambiguous batches."""
+        from test_jax_engine import assert_jplace_close
+
+        from epik_tpu.engine.placer import PlacerConfig
+
+        db, tree, reads = self._fixture()
+        reads_clean = [r for r in reads if r[0] not in ("amb",)]
+        mesh = make_mesh(n_data=4, n_model=2)
+        cfg = PlacerConfig(dense_db="off", accumulate="matmul")
+        sharded = ShardedJaxPlacer(db, tree, mesh, config=cfg)
+        assert sharded._tiles_mode, "fixture must activate sharded tiles"
+        ref = ReferencePlacer(db, tree)
+        assert_jplace_close(ref.place(reads_clean), sharded.place(reads_clean))
+        # ambiguous batch falls back to the hash-sharded CSR path
+        amb_batch = reads[:6] + [("amb2", reads[0][1][:30] + b"N" + reads[0][1][31:])]
+        assert_jplace_close(ref.place(amb_batch), sharded.place(amb_batch))
+
     def test_pair_off_budget(self):
         from epik_tpu.engine.placer import PlacerConfig
 
