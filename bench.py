@@ -65,8 +65,8 @@ def main() -> None:
     # synchronous reads/batch, main.cpp:214 -- the CLI keeps that default;
     # this is the tuned configuration, like running the reference with
     # --batch-size tuned.)
-    BATCH = 8192
-    INFLIGHT = 4
+    BATCH = int(os.environ.get("EPIK_BENCH_BATCH", "8192"))
+    INFLIGHT = int(os.environ.get("EPIK_BENCH_INFLIGHT", "4"))
     NUM_READS = 10 * BATCH  # enough batches for pipeline steady state
     PASSES = 5
 
