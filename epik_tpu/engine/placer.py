@@ -54,6 +54,9 @@ _U64 = 1 << 64
 #: (reference computes pow in double: place.h:29, place.cpp:39-48)
 _POW10_ZERO = -323.6
 _SENTINEL_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+#: physical HBM ceiling for a forced combined (base + pair) plane: a v5e has
+#: 16 GiB and the program needs working-set headroom beyond the plane
+_PAIR_PLANE_HARD_CAP = 14 << 30
 
 
 @dataclasses.dataclass
@@ -1155,7 +1158,9 @@ def _pack_outputs_slim(outs):
     materializes counts (all -1) and the like-weight ratios are a pure
     function of (topk_scores, log_sum), so the wire carries only
     [scores K | idx K | log_sum | n | zero_sum] -- 1.76x fewer bytes --
-    and the host recomputes wr in the same f32 arithmetic the device used
+    and the host recomputes wr in equivalent f32 arithmetic (ulp-level:
+    np.exp and XLA's f32 exp may differ in the last ulp, the same
+    tolerance class as the documented near-tie quirk, docs/QUIRKS.md)
     (:func:`unpack_outputs_slim`)."""
     scores_k, idx_k, _counts_k, _wr_k, n, zero_sum, log_sum = outs
     f32 = jnp.float32
@@ -1539,6 +1544,20 @@ class JaxPlacer(HostStaging):
             pu, pv, key11 = self._enumerate_pairs(n_keys)
             n_pairs = int(pu.shape[0])
             paired_bytes = (n_keys + 1 + n_pairs) * self._plane_w * 4
+            if (
+                self.config.pair_plane == "on"
+                and paired_bytes > _PAIR_PLANE_HARD_CAP
+            ):
+                # "on" overrides pair_plane_budget but not physics: a dense
+                # key set pairs up to 4x the keys and the allocation would
+                # OOM HBM with an opaque runtime error; fail with the size
+                raise ValueError(
+                    f"pair_plane='on' but the combined plane needs "
+                    f"{paired_bytes / 2**30:.1f} GiB "
+                    f"({n_keys + 1 + n_pairs} rows x {self._plane_w} f32) — "
+                    f"over the {_PAIR_PLANE_HARD_CAP / 2**30:.0f} GiB "
+                    f"physical cap; use pair_plane='auto' or shrink the DB"
+                )
             if n_pairs > 0 and (
                 paired_bytes <= self.config.pair_plane_budget
                 or self.config.pair_plane == "on"
@@ -1561,6 +1580,9 @@ class JaxPlacer(HostStaging):
                     final = _plane_fill(final, jnp.int32(n_keys + 1 + s), vals)
                 self._plane_s = final
                 self._paired = True
+        # host copy of the direct table (4**k int32, up to 268 MB at k=13)
+        # is only consumed by the pair enumeration above; release it
+        self._direct_np = None
 
     def _enumerate_pairs(self, n_keys: int):
         return enumerate_pairs(self.db.keys, self.k, self._direct_np, n_keys)
