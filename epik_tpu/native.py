@@ -149,6 +149,10 @@ def _declare(lib) -> None:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.eh_pack_reads.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+    ]
 
 
 def _np_ptr(a: np.ndarray):
@@ -200,6 +204,31 @@ def native_tokenize_batch(seqs: list[bytes], k: int, alphabet: Alphabet) -> Batc
         exact_keys=ek, exact_read=er,
         amb_keys=ak, amb_read=ar, amb_order=ao,
     )
+
+
+def native_pack_reads(seqs: list[bytes], lens_arr: np.ndarray,
+                      alphabet: Alphabet, Lmax: int, R_pad: int):
+    """One-pass packed read-buffer staging (engine/placer.py::pack_reads
+    + the char_code gather + ambiguity scan, fused in C++; the C call
+    releases the GIL).  Returns ``(buf (R_pad, Lmax//4 + Lmax//8 + 2)
+    uint8, amb_mask (n,) bool)``; Lmax must be a multiple of 8."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    n = len(seqs)
+    flat = np.frombuffer(b"".join(seqs), dtype=np.uint8) if n else np.empty(0, np.uint8)
+    offsets = np.empty(n + 1, np.int64)
+    offsets[0] = 0
+    np.cumsum(lens_arr, out=offsets[1:])
+    char_code = np.ascontiguousarray(alphabet.char_code, dtype=np.uint8)
+    stride = Lmax // 4 + Lmax // 8 + 2
+    out = np.empty((R_pad, stride), np.uint8)
+    amb = np.empty(max(n, 1), np.uint8)
+    lib.eh_pack_reads(
+        _np_ptr(np.ascontiguousarray(flat)), _np_ptr(offsets), n,
+        _np_ptr(char_code), Lmax, R_pad, _np_ptr(out), _np_ptr(amb),
+    )
+    return out, amb[:n].astype(bool)
 
 
 class NativeFastaReader:

@@ -246,6 +246,52 @@ EH_API void eh_tokens_fill(void* h, uint64_t* exact_keys, int32_t* exact_read,
 
 EH_API void eh_tokens_free(void* h) { delete static_cast<TokenResult*>(h); }
 
+// Packed read-buffer staging for the device-tokenize fast path: one pass
+// over the raw sequence bytes fills the (R_pad, Lmax/4 + Lmax/8 + 2) uint8
+// buffer consumed by engine/placer.py::device_tokenize_packed -- 2-bit
+// codes, bad-bits (little-endian, 1 bit/char), uint16 length -- and flags
+// reads containing ambiguity codes (0x80 <= code < 0xFF).  Equivalent to
+// the numpy pack_reads + char_code gather + amb scan (measured 29.5 ms per
+// 8192x150bp batch on the 2-core host; this pass runs in ~2 ms and
+// releases the GIL under ctypes).  Padding chars (beyond each read's
+// length, and whole padding rows) take char_code[0] like the numpy path's
+// zero-filled matrix -- an invalid code, so their windows stay masked.
+EH_API void eh_pack_reads(const uint8_t* flat, const int64_t* offsets,
+                          long n_reads, const uint8_t* char_code,
+                          long Lmax, long R_pad, uint8_t* out,
+                          uint8_t* amb_flags) {
+    const long L4 = Lmax / 4, L8 = Lmax / 8;
+    const long stride = L4 + L8 + 2;
+    std::memset(out, 0, (size_t)R_pad * stride);
+    const uint8_t pad_code = char_code[0];
+    const uint8_t pad_bad = (uint8_t)(pad_code >= 4);
+    for (long r = 0; r < n_reads; ++r) {
+        const uint8_t* seq = flat + offsets[r];
+        const long len = (long)(offsets[r + 1] - offsets[r]);
+        uint8_t* row = out + (size_t)r * stride;
+        uint8_t* bb = row + L4;
+        uint8_t amb = 0;
+        for (long j = 0; j < len; ++j) {
+            const uint8_t code = char_code[seq[j]];
+            if (code < 4) {
+                row[j >> 2] |= (uint8_t)(code << ((j & 3) * 2));
+            } else {
+                bb[j >> 3] |= (uint8_t)(1u << (j & 7));
+                amb |= (uint8_t)(code >= kAmbigBase && code != kInvalid);
+            }
+        }
+        if (pad_bad)
+            for (long j = len; j < Lmax; ++j)
+                bb[j >> 3] |= (uint8_t)(1u << (j & 7));
+        row[L4 + L8] = (uint8_t)(len & 0xFF);
+        row[L4 + L8 + 1] = (uint8_t)((len >> 8) & 0xFF);
+        amb_flags[r] = amb;
+    }
+    if (pad_bad)
+        for (long r = n_reads; r < R_pad; ++r)
+            std::memset(out + (size_t)r * stride + L4, 0xFF, (size_t)L8);
+}
+
 // ---------------------------------------------------------------------------
 // 3. Faithful scalar placer (baseline + third differential implementation)
 // ---------------------------------------------------------------------------

@@ -130,3 +130,44 @@ class TestNativeScalarPlacer:
                 sorted(np.float32(p.score) for p in expect),
                 rtol=2e-6, atol=1e-7,
             )
+
+
+class TestNativePackReads:
+    """native_pack_reads must byte-match the numpy pack_reads staging path
+    (engine/placer.py::pack_reads + char_code gather + ambiguity scan)."""
+
+    def _check(self, seqs, Lmax, R_pad):
+        from epik_tpu.engine.placer import pack_reads
+        from epik_tpu.native import native_pack_reads
+
+        lens = np.array([len(s) for s in seqs], np.int64)
+        buf, amb = native_pack_reads(seqs, lens, DNA, Lmax, R_pad)
+
+        flat = np.frombuffer(b"".join(seqs), np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        mat = np.zeros((R_pad, Lmax), np.uint8)
+        mat[np.repeat(np.arange(len(seqs)), lens),
+            np.arange(flat.size) - np.repeat(starts[:-1], lens)] = flat
+        codes = DNA.char_code[mat]
+        want_amb = ((codes >= 0x80) & (codes != 0xFF)).any(axis=1)[: len(seqs)]
+        lens_pad = np.zeros(R_pad, np.int64)
+        lens_pad[: len(seqs)] = lens
+        want_buf = pack_reads(codes, lens_pad)
+
+        np.testing.assert_array_equal(buf, want_buf)
+        np.testing.assert_array_equal(amb, want_amb)
+
+    def test_mixed(self):
+        self._check(
+            [b"ACGTACGTACGTACGT", b"ACNGTT", b"acgtRYacg", b"A", b"ACG-TAC"],
+            Lmax=16, R_pad=8,
+        )
+
+    def test_random(self):
+        rng = np.random.default_rng(3)
+        letters = np.frombuffer(b"ACGTN", np.uint8)
+        seqs = [
+            letters[rng.integers(0, 5, rng.integers(1, 60))].tobytes()
+            for _ in range(37)
+        ]
+        self._check(seqs, Lmax=64, R_pad=64)
