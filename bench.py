@@ -66,8 +66,12 @@ def main() -> None:
     # this is the tuned configuration, like running the reference with
     # --batch-size tuned.)
     BATCH = int(os.environ.get("EPIK_BENCH_BATCH", "8192"))
-    INFLIGHT = int(os.environ.get("EPIK_BENCH_INFLIGHT", "4"))
-    NUM_READS = 10 * BATCH  # enough batches for pipeline steady state
+    INFLIGHT = int(os.environ.get("EPIK_BENCH_INFLIGHT", "6"))
+    NUM_READS = 10 * BATCH  # distinct reads; passes loop them (below)
+    # each timed pass places LOOPS x NUM_READS reads (~4-5 s at the expected
+    # rate): sub-second passes made r03's spread 2x on this noisy shared
+    # host, and the ramp-up of the first INFLIGHT batches amortizes away
+    LOOPS = int(os.environ.get("EPIK_BENCH_LOOPS", "8"))
     PASSES = 5
 
     log("building synthetic database ...")
@@ -98,7 +102,8 @@ def main() -> None:
     # --- warmup (compile; persistent-cached across runs) -----------------------
     t_w = time.time()
     placer.place(reads[:BATCH])
-    log(f"warmup batch (compile) took {time.time()-t_w:.1f}s")
+    warmup_s = time.time() - t_w
+    log(f"warmup batch (compile) took {warmup_s:.1f}s")
 
     # --- TPU pass: the production in-flight batch loop -------------------------
     # worker threads each run a whole batch's place() so the per-step RPC
@@ -107,12 +112,13 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=INFLIGHT)
+    batches = [reads[start : start + BATCH]
+               for start in range(0, NUM_READS, BATCH)]
 
-    def tpu_pass():
+    def tpu_pass(loops=LOOPS):
         t_run = time.time()
         futs = [
-            pool.submit(placer.place, reads[start : start + BATCH])
-            for start in range(0, NUM_READS, BATCH)
+            pool.submit(placer.place, b) for _ in range(loops) for b in batches
         ]
         placed = 0
         for f in futs:
@@ -123,7 +129,7 @@ def main() -> None:
     # one untimed steady-state pass: the first timed pass otherwise pays
     # XLA autotuning + first-touch HBM paging of the multi-GB plane
     # (observed as a consistently ~2x-depressed pass 1)
-    warm_rate = tpu_pass()
+    warm_rate = tpu_pass(loops=2)
     log(f"steady-state warmup pass: {warm_rate:.0f} reads/s (untimed)")
 
     # --- baseline pass: faithful scalar C++ placer, single thread --------------
@@ -159,6 +165,28 @@ def main() -> None:
         log(f"pass {i + 1}: tpu {tpu_rates[-1]:.0f} reads/s/chip | "
             f"baseline {base_rates[-1]:.0f} reads/s")
 
+    # --- sustained pass: one long continuous run (~60 s) ------------------------
+    # the round-3 verdict asked for a sustained measurement that shrinks the
+    # noise interval instead of arguing about it; this is the same loop held
+    # for SUSTAIN seconds
+    SUSTAIN = float(os.environ.get("EPIK_BENCH_SUSTAIN", "60"))
+    t_sus = time.time()
+    placed_sus = 0
+    futs = []
+    while time.time() - t_sus < SUSTAIN or not futs:
+        for b in batches:
+            futs.append(pool.submit(placer.place, b))
+        while len(futs) > INFLIGHT:
+            futs.pop(0).result()
+            placed_sus += BATCH
+        if time.time() - t_sus >= SUSTAIN:
+            break
+    for f in futs:
+        f.result()
+        placed_sus += BATCH
+    sustained = placed_sus / (time.time() - t_sus)
+    log(f"sustained pass: {sustained:.0f} reads/s over {time.time()-t_sus:.0f}s")
+
     best = max(tpu_rates)
     base_rps = max(base_rates)
     med = sorted(tpu_rates)[len(tpu_rates) // 2]
@@ -177,6 +205,8 @@ def main() -> None:
         "best": round(best, 1),
         "best_vs_baseline": round(best / base_rps, 2),
         "passes": [round(r, 1) for r in tpu_rates],
+        "sustained": round(sustained, 1),
+        "warmup_s": round(warmup_s, 1),
         "plane_mode": plane_mode,
         "precision": precision,
     }))
