@@ -145,6 +145,19 @@ class PlacerConfig:
     #: DBs pair ~1.2x the key count; dense random key sets up to 4x), and a
     #: v5e has 16 GB -- the combined plane may own most of it.
     pair_plane_budget: int = 10 << 30
+    #: posting-tile payload (the big-tree path):
+    #: * "packed" -- each tile cell is ONE int32 ``(branch << 16) | q`` with
+    #:   q the shifted score on a 64000-step grid (per-cell error
+    #:   (-log_eps)/128000, ~3.3e-5 log10 units at k=10 nucl defaults --
+    #:   2x tighter than the int16 dense plane, which measured parity-clean
+    #:   on the verify gate).  Halves the tile gather bytes AND runs the
+    #:   accumulate as two EXACT bf16-digit MXU matmuls instead of one
+    #:   ~6-pass f32-HIGHEST matmul (ops/pallas/accumulate.py::
+    #:   segment_accumulate_packed).  Requires branch ids < 2**15.
+    #: * "f32" -- the round-3 layout: (branch u32, score-bits u32) pairs,
+    #:   bit-exact scores, f32-HIGHEST accumulate.
+    #: * "auto" -- packed when branch ids fit, else f32.
+    tile_payload: str = "auto"
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -943,7 +956,10 @@ def device_tokenize_paired(buf, direct, direct11, *, k: int, Lmax: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "R", "B", "K", "k", "Lmax", "num_kmers", "PT", "tr", "ch", "interpret",
+        "R", "B", "K", "k", "Lmax", "num_kmers", "PT", "packed",
+        "tile_scale", "tr", "ch", "interpret",
+        # the fused finish kernel bakes these into the Pallas program
+        "log_eps", "eps",
     ),
 )
 def _place_batch_tiles_bytes(
@@ -960,6 +976,8 @@ def _place_batch_tiles_bytes(
     PT: int,
     log_eps,
     eps,
+    packed: bool = False,
+    tile_scale: float = 1.0,
     tr: int = 8,
     ch: int = 512,
     interpret: bool = False,
@@ -984,9 +1002,15 @@ def _place_batch_tiles_bytes(
 
     Reference analog: posting-list walk + SIMD update_vector
     (place.cpp:349-371, intrinsic.h) with the |tree|-wide scatter replaced
-    by MXU contractions.
+    by MXU contractions.  ``packed`` selects the int32
+    ``(branch << 16) | q`` payload + exact bf16-digit MXU accumulate
+    (PlacerConfig.tile_payload).
     """
-    from ..ops.pallas.accumulate import segment_accumulate_sums, trash_branch
+    from ..ops.pallas.accumulate import (
+        segment_accumulate_packed_topk,
+        segment_accumulate_sums,
+        trash_branch,
+    )
 
     i32 = jnp.int32
     f32 = jnp.float32
@@ -998,18 +1022,94 @@ def _place_batch_tiles_bytes(
         m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
     )
     W = rows.shape[1]
-    g = tiles[rows]  # (R, W, 2*PT) u32: one row gather per window
-    g = g.reshape(R, W * PT, 2)
-    b = g[..., 0].astype(i32)
-    s = jax.lax.bitcast_convert_type(g[..., 1], f32)
     pp = W * PT
     pp_pad = -(-pp // ch) * ch
     trash = trash_branch(B)
-    b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
-    s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
-    Sp = segment_accumulate_sums(b, s, B, tr=tr, ch=ch, interpret=interpret)
+    if packed:
+        g = tiles[rows]  # (R, W, PT) i32: one row gather per window
+        g = g.reshape(R, pp)
+        g = jnp.pad(g, ((0, 0), (0, pp_pad - pp)),
+                    constant_values=np.int32(trash << 16))
+        # accumulate + finish fused in one kernel: the slim pack is the
+        # only array that ever leaves it (the XLA finish would re-read the
+        # (R, B) matrix from HBM several times -- 45 of 61 ms at B=20k)
+        return segment_accumulate_packed_topk(
+            g, m_f32, B, K, k=k, log_eps=float(log_eps),
+            scale=tile_scale, tr=tr, ch=ch, interpret=interpret,
+        )
+    else:
+        g = tiles[rows]  # (R, W, 2*PT) u32: one row gather per window
+        g = g.reshape(R, pp, 2)
+        b = g[..., 0].astype(i32)
+        s = jax.lax.bitcast_convert_type(g[..., 1], f32)
+        b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
+        s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
+        Sp = segment_accumulate_sums(b, s, B, tr=tr, ch=ch, interpret=interpret)
     outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
     return _pack_outputs_slim(outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "R", "B", "K", "k", "Lmax", "num_kmers", "PT",
+        "tile_scale", "tr", "ch", "interpret", "log_eps", "eps",
+    ),
+)
+def _place_batch_tiles_paired(
+    tiles,
+    direct,
+    direct11,
+    buf,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    k: int,
+    Lmax: int,
+    num_kmers: int,
+    PT: int,
+    log_eps,
+    eps,
+    tile_scale: float = 1.0,
+    tr: int = 8,
+    ch: int = 512,
+    interpret: bool = False,
+):
+    """Pair-fused packed-tile step: ONE 2*PT row gather per TWO windows.
+
+    The 128-byte tile-row gather is DMA-issue-bound (~60 ns/row measured),
+    so halving the issue count is the lever the pair plane proved on the
+    dense path; tile pair rows hold prefix-postings ++ suffix-postings
+    (the packed payload's integer sums make accumulation order-free, so
+    concatenation order cannot perturb parity).  Same (k+1)-mer identity:
+    a pair MISS implies at most one of the two windows hits."""
+    from ..ops.pallas.accumulate import (
+        segment_accumulate_packed_topk,
+        trash_branch,
+    )
+
+    i32 = jnp.int32
+    f32 = jnp.float32
+    rows, lens = device_tokenize_paired(
+        buf, direct, direct11, k=k, Lmax=Lmax, num_kmers=num_kmers
+    )
+    m_signed = lens - i32(k - 1)
+    m_f32 = jnp.where(
+        m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+    )
+    Wp = rows.shape[1]
+    pp = Wp * 2 * PT
+    pp_pad = -(-pp // ch) * ch
+    trash = trash_branch(B)
+    g = tiles[rows]  # (R, Wp, 2*PT) i32: one row gather per 2-window slot
+    g = g.reshape(R, pp)
+    g = jnp.pad(g, ((0, 0), (0, pp_pad - pp)),
+                constant_values=np.int32(trash << 16))
+    return segment_accumulate_packed_topk(
+        g, m_f32, B, K, k=k, log_eps=float(log_eps),
+        scale=tile_scale, tr=tr, ch=ch, interpret=interpret,
+    )
 
 
 def device_tokenize_codes(buf, *, k: int, sigma: int, Lmax: int):
@@ -1456,6 +1556,20 @@ class JaxPlacer(HostStaging):
         self._dev_tiles_cache = None
         self._dev_direct = None
         self._direct_np = None
+        # packed tile payload (see PlacerConfig.tile_payload): needs every
+        # branch id -- including the kernel's trash column nh*128-1 -- to
+        # fit 15 bits so the int32 cell stays non-negative
+        _tile_bw = (-(-(self.B + 1) // 128)) * 128
+        self._tile_packed = (
+            self.config.tile_payload in ("auto", "packed")
+            and _tile_bw - 1 < (1 << 15)
+        )
+        if self.config.tile_payload == "packed" and not self._tile_packed:
+            raise ValueError(
+                f"tile_payload='packed' needs branch ids < 2**15 "
+                f"(padded width {_tile_bw}); use 'auto' or 'f32'"
+            )
+        self._tile_scale = 1.0
         if self._fast_bytes or self._tiles_mode:
             direct = np.full(4**self.k, n_keys, dtype=np.int32)
             direct[db.keys.astype(np.int64)] = np.arange(n_keys, dtype=np.int32)
@@ -1608,9 +1722,26 @@ class JaxPlacer(HostStaging):
                     final = _plane_fill(final, jnp.int32(n_keys + 1 + s), vals)
                 self._plane_s = final
                 self._paired = True
+        # pair-fused posting tiles (big-tree): one 2*PT row gather per TWO
+        # windows, same (k+1)-mer identity as the dense pair plane; the
+        # packed payload's integer sums make accumulation order-free.
+        # MEASURED round 4 and left OFF by default: 69.1k vs 74.1k reads/s
+        # unpaired on config 4 -- the tile step is bound by the one-hot
+        # construction in the accumulate kernel, not by gather row issues,
+        # so halving gathers does not pay for the 2.3x tile memory.
+        # Opt in with pair_plane="on".
+        self._tile_paired = (
+            self._tiles_mode
+            and self._tile_packed
+            and self.config.pair_plane == "on"
+            and self.k + 1 <= 13
+        )
+        self._dev_tile_direct11 = None
         # host copy of the direct table (4**k int32, up to 268 MB at k=13)
-        # is only consumed by the pair enumeration above; release it
-        self._direct_np = None
+        # is only consumed by the pair enumerations; the lazy tile build
+        # still needs it (the dense pair build above ran eagerly)
+        if not self._tiles_mode:
+            self._direct_np = None
 
     def _enumerate_pairs(self, n_keys: int):
         return enumerate_pairs(self.db.keys, self.k, self._direct_np, n_keys)
@@ -1635,19 +1766,86 @@ class JaxPlacer(HostStaging):
                     db = self.db
                     n = db.num_kmers
                     PT = self._tile_pt
-                    til = np.empty((n + 1, 2 * PT), np.uint32)
-                    til[:, 0::2] = np.uint32(trash_branch(self.B))
-                    til[:, 1::2] = np.float32(0.0).view(np.uint32)
                     lens = self._lens.astype(np.int64)
                     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
                     cols = (
                         np.arange(rows.shape[0], dtype=np.int64)
                         - np.repeat(db.row_off[:-1], lens)
                     )
-                    til[rows, 2 * cols] = db.branches.astype(np.uint32)
                     shifted = (
                         db.scores.astype(np.float64) - float(self.log_eps)
                     ).astype(np.float32)
+                    if self._tile_packed:
+                        # ONE int32 per cell: (branch << 16) | q with q the
+                        # shifted score on a 64000-step grid, clamped >= 1
+                        # so threshold-boundary postings stay "touched"
+                        # (S' > 0); trash cells are (trash << 16) | 0
+                        span = max(float(-self.log_eps), 1e-6)
+                        self._tile_scale = 64000.0 / span
+                        q = np.clip(
+                            np.rint(shifted.astype(np.float64)
+                                    * self._tile_scale),
+                            1, 64000,
+                        ).astype(np.int32)
+                        vals = (db.branches.astype(np.int32) << 16) | q
+                        trash_val = np.int32(trash_branch(self.B) << 16)
+                        n_pairs = 0
+                        if self._tile_paired:
+                            pu, pv, key11 = enumerate_pairs(
+                                db.keys, self.k, self._direct_np, n
+                            )
+                            n_pairs = int(pu.shape[0])
+                            paired_bytes = (n + 1 + n_pairs) * 2 * PT * 4
+                            if (n_pairs == 0
+                                    or paired_bytes
+                                    > self.config.dense_db_budget):
+                                self._tile_paired = False
+                                n_pairs = 0
+                        PTW = 2 * PT if self._tile_paired else PT
+                        til = np.full((n + 1 + n_pairs, PTW), trash_val,
+                                      np.int32)
+                        til[rows, cols] = vals
+                        if self._tile_paired:
+                            # pair row = prefix postings then suffix
+                            # postings (integer sums are order-free)
+                            lu = lens[pu]
+                            lv = lens[pv]
+                            pr = n + 1 + np.arange(n_pairs, dtype=np.int64)
+
+                            def _fill(p_rows, p_lens, src_off, col_base):
+                                tot = int(p_lens.sum())
+                                within = (
+                                    np.arange(tot, dtype=np.int64)
+                                    - np.repeat(
+                                        np.concatenate(
+                                            [[0], np.cumsum(p_lens)[:-1]]
+                                        ),
+                                        p_lens,
+                                    )
+                                )
+                                til[
+                                    np.repeat(p_rows, p_lens),
+                                    within + np.repeat(col_base, p_lens),
+                                ] = vals[
+                                    within + np.repeat(src_off, p_lens)
+                                ]
+
+                            _fill(pr, lu, db.row_off[pu],
+                                  np.zeros(n_pairs, np.int64))
+                            _fill(pr, lv, db.row_off[pv], lu)
+                            direct11 = np.full(4 ** (self.k + 1), -1,
+                                               np.int32)
+                            direct11[key11] = (
+                                n + 1 + np.arange(n_pairs, dtype=np.int64)
+                            ).astype(np.int32)
+                            self._dev_tile_direct11 = jnp.asarray(direct11)
+                        self._direct_np = None
+                        self._dev_tiles_cache = jnp.asarray(til)
+                        return self._dev_tiles_cache
+                    til = np.empty((n + 1, 2 * PT), np.uint32)
+                    til[:, 0::2] = np.uint32(trash_branch(self.B))
+                    til[:, 1::2] = np.float32(0.0).view(np.uint32)
+                    til[rows, 2 * cols] = db.branches.astype(np.uint32)
                     # threshold-boundary scores (s == log10(eps)) shift to
                     # exactly 0, which would drop the branch from the
                     # "touched" test (S' > 0); nudge to a tiny normal
@@ -1871,14 +2069,29 @@ class JaxPlacer(HostStaging):
             if amb_mask.any():
                 return None  # rare: classic CSR path handles ambiguity
             K = min(cfg.keep_at_most, self.B)
+            tiles = self._dev_tiles  # build first: sets _tile_scale/_tile_paired
+            if self._tile_paired:
+                fn = functools.partial(
+                    _place_batch_tiles_paired,
+                    R=R, B=self.B, K=K, k=self.k, Lmax=Lmax,
+                    num_kmers=self.db.num_kmers, PT=self._tile_pt,
+                    log_eps=float(self.log_eps), eps=float(self.eps),
+                    tile_scale=float(self._tile_scale),
+                    interpret=self._interpret,
+                )
+                arrays = (tiles, self._dev_direct, self._dev_tile_direct11,
+                          jnp.asarray(buf))
+                return fn, arrays, m_signed, R_true, K
             fn = functools.partial(
                 _place_batch_tiles_bytes,
                 R=R, B=self.B, K=K, k=self.k, Lmax=Lmax,
                 num_kmers=self.db.num_kmers, PT=self._tile_pt,
                 log_eps=float(self.log_eps), eps=float(self.eps),
+                packed=self._tile_packed,
+                tile_scale=float(self._tile_scale),
                 interpret=self._interpret,
             )
-            arrays = (self._dev_tiles, self._dev_direct, jnp.asarray(buf))
+            arrays = (tiles, self._dev_direct, jnp.asarray(buf))
             return fn, arrays, m_signed, R_true, K
         if amb_mask.any():
             idxs = np.flatnonzero(amb_mask)

@@ -21,12 +21,14 @@ def log(msg):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=8000)
+    ap.add_argument("--reads", type=int, default=32768)
     ap.add_argument("--leaves", type=int, default=10000)
     ap.add_argument("--ref-len", type=int, default=1_000_000)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=4000)
-    ap.add_argument("--inflight", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--inflight", type=int, default=6)
+    ap.add_argument("--loops", type=int, default=4,
+                    help="repeats of the read set per timed pass")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -66,14 +68,16 @@ def main(argv=None):
     log(f"warmup {time.time()-t_w:.0f}s")
 
     pool = ThreadPoolExecutor(max_workers=args.inflight)
+    batches = [reads[s : s + args.batch]
+               for s in range(0, args.reads, args.batch)]
     best = 0.0
     for p in range(3):
         t_run = time.time()
-        futs = [pool.submit(placer.place, reads[s : s + args.batch])
-                for s in range(0, args.reads, args.batch)]
+        futs = [pool.submit(placer.place, b)
+                for _ in range(args.loops) for b in batches]
         for f in futs:
             f.result()
-        rps = args.reads / (time.time() - t_run)
+        rps = args.loops * args.reads / (time.time() - t_run)
         log(f"pass {p + 1}: {rps:.0f} reads/s")
         best = max(best, rps)
 

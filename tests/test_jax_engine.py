@@ -869,6 +869,49 @@ class TestTilesPath:
         out_ref = ReferencePlacer(db, tree).place([("r", read)])
         assert_jplace_close(out_ref, p.place([("r", read)]))
 
+    def test_f32_payload_matches_oracle(self):
+        """tile_payload='f32' (the bit-exact round-3 layout) stays live."""
+        db, tree, reads = self._fixture()
+        p = self._placer(db, tree, tile_payload="f32")
+        assert not p._tile_packed
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        assert_jplace_close(out_ref, p.place(reads))
+
+    def test_packed_payload_selected_and_matches_f32(self):
+        """Default 'auto' selects the packed int32 payload (branch ids fit
+        15 bits) and its quantized scores stay inside the oracle epsilon
+        of the exact-f32 payload."""
+        db, tree, reads = self._fixture()
+        p_packed = self._placer(db, tree)
+        assert p_packed._tile_packed
+        p_f32 = self._placer(db, tree, tile_payload="f32")
+        assert_jplace_close(p_f32.place(reads), p_packed.place(reads))
+
+    def test_pair_fused_tiles_match_unpaired(self):
+        """Pair-fused tile rows (one gather per two windows) match the
+        per-window packed path and the oracle."""
+        db, tree, reads = self._fixture()
+        p_pair = self._placer(db, tree, pair_plane="on")
+        p_pair.place(reads[:2])  # trigger lazy tile build
+        assert p_pair._tile_paired
+        p_single = self._placer(db, tree)
+        p_single.place(reads[:2])
+        assert not p_single._tile_paired
+        out_pair = p_pair.place(reads)
+        assert_jplace_close(p_single.place(reads), out_pair)
+        assert_jplace_close(ReferencePlacer(db, tree).place(reads), out_pair)
+
+    def test_packed_rejects_wide_branch_ids(self):
+        from epik_tpu.engine.placer import PlacerConfig
+        from epik_tpu.io.build import random_db
+
+        db = random_db(num_leaves=20000, kmer_size=10, num_kmers=64,
+                       mean_posting_len=4.0, seed=75, unique_branches=False)
+        tree = parse_newick(db.tree())
+        with pytest.raises(ValueError, match="tile_payload"):
+            JaxPlacer(db, tree, config=PlacerConfig(
+                dense_db="off", accumulate="matmul", tile_payload="packed"))
+
     def test_hot_kmer_disables_tiles(self):
         """max posting length > 64 falls back (tile width would blow up)."""
         from epik_tpu.engine.placer import PlacerConfig
