@@ -1308,6 +1308,19 @@ class _Pending:
     redo: tuple | None
 
 
+@dataclasses.dataclass
+class _SplitPending:
+    """A batch split between two engines (tiles for clean reads, classic
+    CSR for ambiguous ones); results merge back into original row order."""
+
+    sequence_map: dict
+    seqs: list
+    idx_clean: np.ndarray
+    idx_amb: np.ndarray
+    clean: _Pending
+    amb: _Pending
+
+
 class HostStaging:
     """Host-side batch staging shared by the single-chip and sharded placers:
     native-C++ tokenization with a GIL-releasing thread pool and threaded
@@ -1950,7 +1963,14 @@ class JaxPlacer(HostStaging):
             pending = self._place_async_codes(sequence_map, seqs)
             if pending is not None:
                 return pending
+        return self._place_async_classic(sequence_map, seqs)
 
+    def _place_async_classic(self, sequence_map, seqs):
+        """Host-tokenize path: dense planes with host lookup/cuckoo, or the
+        CSR scatter/matmul engines (the fallback for every batch shape the
+        fast paths cannot take)."""
+        cfg = self.config
+        R = len(seqs)
         tokens = self._tokenize(seqs)
         # the correction term uses the size_t-wrapped window count (quirk Q1);
         # float32(2**64 - small) == float32(2**64), so the wrap collapses
@@ -2027,6 +2047,25 @@ class JaxPlacer(HostStaging):
         staged = self._stage_bytes(seqs)
         if staged is None:
             return None
+        if staged[0] == "amb_split":
+            amb_mask = staged[1]
+            idx_a = np.flatnonzero(amb_mask)
+            idx_c = np.flatnonzero(~amb_mask)
+            if idx_c.size == 0:
+                return None  # every read ambiguous: whole-batch classic
+            seqs_c = [seqs[i] for i in idx_c]
+            seqs_a = [seqs[i] for i in idx_a]
+            st_c = self._stage_bytes(seqs_c)
+            if st_c is None or st_c[0] == "amb_split":  # pragma: no cover
+                return None
+            fn, arrays, m_signed, R_true, K = st_c
+            pend_c = _Pending({s: sequence_map[s] for s in seqs_c}, seqs_c,
+                              m_signed, fn(*arrays), None, (None, R_true, K))
+            pend_a = self._place_async_classic(
+                {s: sequence_map[s] for s in seqs_a}, seqs_a
+            )
+            return _SplitPending(sequence_map, seqs, idx_c, idx_a,
+                                 pend_c, pend_a)
         fn, arrays, m_signed, R_true, K = staged
         out = fn(*arrays)
         return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
@@ -2067,7 +2106,9 @@ class JaxPlacer(HostStaging):
         buf, amb_mask = self._pack_reads_fast(seqs, lens_arr, Lmax, R)
         if self._tiles_mode:
             if amb_mask.any():
-                return None  # rare: classic CSR path handles ambiguity
+                # rare: the caller splits the batch -- clean reads stay on
+                # the tiles path, ambiguous reads take the classic CSR path
+                return ("amb_split", amb_mask)
             K = min(cfg.keep_at_most, self.B)
             tiles = self._dev_tiles  # build first: sets _tile_scale/_tile_paired
             if self._tile_paired:
@@ -2222,6 +2263,8 @@ class JaxPlacer(HostStaging):
 
     def place_wait(self, pending: "_Pending") -> PlacedCollection:
         """Block on a pending batch, re-dispatching on budget overflow."""
+        if isinstance(pending, _SplitPending):
+            return self._merge_split(pending)
         if pending.out is None:
             return PlacedCollection(sequence_map=pending.sequence_map, placed_seqs=[])
         cfg = self.config
@@ -2260,6 +2303,38 @@ class JaxPlacer(HostStaging):
         return self._assemble(
             pending.seqs, pending.sequence_map, pending.m_signed,
             scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K,
+        )
+
+    def _merge_split(self, pending: "_SplitPending") -> ArrayPlacedCollection:
+        """Merge a split batch's two array collections back into the
+        original unique-sequence row order."""
+        col_c = self.place_wait(pending.clean)
+        col_a = self.place_wait(pending.amb)
+        R = len(pending.seqs)
+        Kmax = max(col_c.ids.shape[1], col_a.ids.shape[1])
+
+        def alloc(ref):
+            return np.zeros((R, Kmax), ref.dtype)
+
+        ids = alloc(col_c.ids)
+        scores = alloc(col_c.scores)
+        wr = alloc(col_c.wr)
+        counts = alloc(col_c.counts)
+        dist = alloc(col_c.dist)
+        pend = alloc(col_c.pend)
+        keep = np.zeros((R, Kmax), bool)
+        for idx, col in ((pending.idx_clean, col_c), (pending.idx_amb, col_a)):
+            w = col.ids.shape[1]
+            ids[idx, :w] = col.ids
+            scores[idx, :w] = col.scores
+            wr[idx, :w] = col.wr
+            counts[idx, :w] = col.counts
+            dist[idx, :w] = col.dist
+            pend[idx, :w] = col.pend
+            keep[idx, :w] = col.keep
+        return ArrayPlacedCollection(
+            pending.sequence_map, pending.seqs, ids, scores, wr, counts,
+            dist, pend, keep,
         )
 
     def device_fn_args(self, records: list[tuple[str, bytes]]):

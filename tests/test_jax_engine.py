@@ -843,14 +843,31 @@ class TestTilesPath:
         out_ref = ReferencePlacer(db, tree).place(reads)
         assert_jplace_close(out_ref, p.place(reads))
 
-    def test_amb_batch_falls_back_to_csr(self):
-        """A batch containing ambiguous reads routes to the classic CSR
-        path and still matches the oracle."""
+    def test_amb_batch_splits_tiles_plus_csr(self):
+        """A batch containing ambiguous reads SPLITS: clean reads stay on
+        the tiles path, ambiguous reads take the classic CSR path, and the
+        merged batch matches the oracle (round-4 rework of the old
+        whole-batch CSR fallback)."""
+        from epik_tpu.engine.placer import _SplitPending
+
         db, tree, reads = self._fixture()
         p = self._placer(db, tree)
-        reads = reads[:8] + [("amb", reads[0][1][:40] + b"N" + reads[0][1][41:])]
+        reads = reads[:8] + [("amb", reads[0][1][:40] + b"N" + reads[0][1][41:]),
+                             ("amb2", reads[1][1][:3] + b"R" + reads[1][1][4:])]
+        pending = p.place_async(reads)
+        assert isinstance(pending, _SplitPending)
+        assert len(pending.idx_amb) == 2 and len(pending.idx_clean) == 8
         out_ref = ReferencePlacer(db, tree).place(reads)
-        assert_jplace_close(out_ref, p.place(reads))
+        assert_jplace_close(out_ref, p.place_wait(pending))
+
+    def test_all_amb_batch_falls_back_whole(self):
+        """Every read ambiguous: no split, whole batch on the classic path."""
+        db, tree, reads = self._fixture()
+        p = self._placer(db, tree)
+        amb = [("a1", reads[0][1][:40] + b"N" + reads[0][1][41:]),
+               ("a2", reads[1][1][:10] + b"Y" + reads[1][1][11:])]
+        out_ref = ReferencePlacer(db, tree).place(amb)
+        assert_jplace_close(out_ref, p.place(amb))
 
     def test_threshold_boundary_score_places(self):
         """A posting at exactly log10(eps) shifts to the nudged epsilon and
