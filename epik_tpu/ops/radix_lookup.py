@@ -50,12 +50,16 @@ class RadixIndex:
 def build_radix(keys: np.ndarray, key_bits: int, max_table_bits: int = 24) -> RadixIndex:
     """Build the index from SORTED unique uint64 keys (< 2**key_bits).
 
-    ``table_bits`` targets ~2 buckets per key (load 0.5) capped at
-    ``max_table_bits`` (64 MB of offsets); ``shift`` = key_bits -
+    ``table_bits`` targets ~32 buckets per key (load 1/32) capped at
+    ``max_table_bits`` (64 MB of offsets): every probe is a full
+    element-gather pass over all window keys (~7 ns/element on a v5e, the
+    dominant amino stage at 7 probes -- measured round 4,
+    tools/profile_amino_stages.py), so a sparser table buying max_bucket
+    3-4 instead of 7 is worth 64 MB of HBM.  ``shift`` = key_bits -
     table_bits must stay <= 31 so the low bits fit an int32 compare.
     """
     n = int(keys.shape[0])
-    table_bits = min(max_table_bits, max(1, (2 * max(n, 1) - 1).bit_length()))
+    table_bits = min(max_table_bits, max(1, (32 * max(n, 1) - 1).bit_length()))
     shift = max(0, key_bits - table_bits)
     if shift > 31:
         raise ValueError(f"key_bits={key_bits} too wide: low bits {shift} > 31")

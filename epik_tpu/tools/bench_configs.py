@@ -50,20 +50,23 @@ def _amino_row():
     log(f"amino placer: dense={placer._dense_db} fast_codes={placer._fast_codes} "
         f"probes={placer._radix.max_bucket if placer._radix else None}")
     BATCH = 4096
+    LOOPS = 4  # repeats per timed pass: sub-second passes are noise-bound
     placer.place(reads[:BATCH])  # warmup compile
 
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=4)
+    pool = ThreadPoolExecutor(max_workers=6)
+    batches = [reads[s : s + BATCH] for s in range(0, n_reads, BATCH)]
     best = 0.0
     for p in range(3):
         t = time.time()
-        futs = [pool.submit(placer.place, reads[s : s + BATCH])
-                for s in range(0, n_reads, BATCH)]
+        futs = [pool.submit(placer.place, b)
+                for _ in range(LOOPS) for b in batches]
         for f in futs:
             f.result()
-        best = max(best, n_reads / (time.time() - t))
-        log(f"amino pass {p + 1}: {n_reads / (time.time() - t):.0f} reads/s")
+        rps = LOOPS * n_reads / (time.time() - t)
+        best = max(best, rps)
+        log(f"amino pass {p + 1}: {rps:.0f} reads/s")
 
     base = None
     try:
