@@ -392,9 +392,21 @@ def _interpretations(data: bytes, off: int) -> str:
     return "\n".join(out)
 
 
-def _trace_fields(data: bytes, size_width: int):
+def _trace_fields(data: bytes, size_width: int, version_width: int = 4,
+                  class_info: bool = False):
     """Parse the reconstructed layout recording every field; stop at the
-    first deviation.  Returns (trace_lines, error_or_None)."""
+    first deviation.  Returns (trace_lines, error_or_None).
+
+    Variant axes (auto-tried by :func:`probe_ipk`):
+      * ``size_width`` -- std::size_t of the writing build (8 or 4);
+      * ``version_width`` -- the protocol-version integral (u32 or u64:
+        i2l's version type is unknown, SURVEY.md section 2.9 [inference]);
+      * ``class_info`` -- Boost emits a class-info preamble (u16 class id +
+        u8 tracking flag + u32 class version) before the first object of a
+        tracked class unless the type is marked
+        ``boost::serialization::object_serializable``; i2l's trait choice
+        cannot be read (empty submodule), so both are tried.
+    """
     t: list[str] = []
     r = BinaryArchiveReader(data, size_width=size_width)
 
@@ -410,9 +422,21 @@ def _trace_fields(data: bytes, size_width: int):
         off = r.pos
         bv = r.u16()
         rec("boost library version", off, bv)
+        if class_info:
+            off = r.pos
+            cid = r.u16()
+            trk = r.u8()
+            cver = r.u32()
+            rec("class-info preamble", off, (cid, trk, cver))
+            if cid > 64 or trk > 1:
+                raise UnverifiedFormatError(
+                    f"implausible class-info preamble ({cid}, {trk}, {cver})"
+                )
         off = r.pos
-        version = r.u32()
-        rec("protocol version (u32)", off, version)
+        version = r.u32() if version_width == 4 else r.u64()
+        rec(f"protocol version (u{version_width * 8})", off, version)
+        if version > 1 << 20:
+            raise UnverifiedFormatError(f"implausible protocol version {version}")
         off = r.pos
         seq_type = r.string()
         rec("sequence type (str)", off, seq_type[:32])
@@ -503,12 +527,41 @@ def probe_ipk(path: str) -> str:
     else:
         lines.append("landmark newick: no '(...);' span found")
 
-    for sw in (8, 4):
-        lines.append(f"\n--- reconstructed layout walk, size_t width {sw} ---")
-        trace, err = _trace_fields(data, sw)
+    # variant grid: size_t width x protocol-version width x class-info
+    # preamble (see _trace_fields); every variant is walked and the clean
+    # ones are listed first -- "which layout parses" is the probe's answer
+    variants = [
+        (sw, vw, ci)
+        for sw in (8, 4)
+        for vw in (4, 8)
+        for ci in (False, True)
+    ]
+    results = []
+    for sw, vw, ci in variants:
+        trace, err = _trace_fields(data, sw, version_width=vw, class_info=ci)
+        results.append(((sw, vw, ci), trace, err))
+    clean = [v for v, _, err in results if err is None]
+    lines.append(
+        "\nvariant grid (size_t x version width x class-info preamble): "
+        + (f"CLEAN under {clean}" if clean else "no variant parses cleanly")
+    )
+    # full traces: all clean variants, plus the deepest-reaching failure
+    # (most fields parsed before deviating) as the best diagnosis lead
+    shown = [rv for rv in results if rv[2] is None]
+    if len(shown) < len(results):
+        best_fail = max(
+            (rv for rv in results if rv[2] is not None),
+            key=lambda rv: len(rv[1]),
+        )
+        shown.append(best_fail)
+    for (sw, vw, ci), trace, err in shown:
+        lines.append(
+            f"\n--- layout walk: size_t={sw} version=u{vw * 8} "
+            f"class_info={ci} ---"
+        )
         lines.extend(trace)
         if err is None:
-            lines.append("  layout walk CLEAN under this width")
+            lines.append("  layout walk CLEAN under this variant")
         else:
             pos, e = err
             lines.append(f"  DEVIATES at offset {pos}: {e}")

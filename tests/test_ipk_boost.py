@@ -177,6 +177,10 @@ class TestProbe:
         assert "layout walk CLEAN" in rep
         assert "landmark 'nucl': found at offset" in rep
         assert "landmark newick" in rep
+        # the variant grid names which (size_t, version width, class-info)
+        # combinations parse: the written layout is (8, u32, no preamble)
+        assert "CLEAN under" in rep
+        assert "(8, 4, False)" in rep
 
     def test_probe_reports_deviation(self, tmp_path):
         from epik_tpu.io.ipk_boost import probe_ipk
@@ -208,3 +212,119 @@ class TestProbe:
         rep = probe_ipk(str(z))
         assert "compression: zlib" in rep
         assert "layout walk CLEAN" in rep
+
+
+class TestHandAuthoredFixtures:
+    """Byte-exact fixtures authored INDEPENDENTLY of write_ipk (round-4
+    verdict ask #5): every byte below is laid down with explicit struct
+    packing straight from the documented Boost binary-archive primitive
+    rules (length-prefixed strings, native little-endian integrals) and
+    the reconstructed i2l payload layout -- so a write_ipk bug cannot
+    self-validate through these tests."""
+
+    # fixture content (literal, chosen by hand)
+    TREE = b"(L0:0.25,L1:0.5);"
+    KMERS = [
+        # (key, [(branch, log10 score), ...])
+        (6, [(0, -1.25), (2, -0.5)]),
+        (27, [(1, -2.0)]),
+    ]
+
+    def _payload(self, size_fmt: str) -> bytes:
+        """The archive bytes after the header, hand-packed field by field.
+
+        size_fmt: "<Q" (64-bit std::size_t writer) or "<I" (32-bit)."""
+        import struct
+
+        b = bytearray()
+        b += struct.pack("<I", 4)                      # protocol version
+        b += struct.pack(size_fmt, 4) + b"nucl"        # sequence type
+        b += struct.pack(size_fmt, len(self.TREE)) + self.TREE
+        # tree_index: 3 postorder nodes (L0, L1, root) of the 2-leaf tree:
+        # leaves have subtree_num_nodes 1 / total_length 0; the root spans
+        # 3 nodes with total branch length 0.75
+        b += struct.pack(size_fmt, 3)
+        b += struct.pack("<Qd", 1, 0.0)
+        b += struct.pack("<Qd", 1, 0.0)
+        b += struct.pack("<Qd", 3, 0.75)
+        b += struct.pack("<Q", 3)                      # kmer_size
+        b += struct.pack("<f", 1.5)                    # omega
+        b += struct.pack(size_fmt, len(self.KMERS))    # num k-mers
+        for key, postings in self.KMERS:
+            b += struct.pack("<Q", key)
+            b += struct.pack(size_fmt, len(postings))
+            for branch, score in postings:
+                b += struct.pack("<If", branch, score)
+        return bytes(b)
+
+    def _archive(self, size_fmt: str) -> bytes:
+        import struct
+
+        sig = b"serialization::archive"
+        return (
+            struct.pack(size_fmt, len(sig)) + sig
+            + struct.pack("<H", 19)
+            + self._payload(size_fmt)
+        )
+
+    def _check_db(self, db):
+        assert db.version == 4
+        assert db.sequence_type == "nucl"
+        assert db.kmer_size == 3
+        assert db.omega == pytest.approx(1.5)
+        assert db.tree_newick == self.TREE.decode()
+        np.testing.assert_array_equal(db.keys, [6, 27])
+        np.testing.assert_array_equal(np.diff(db.row_off), [2, 1])
+        np.testing.assert_array_equal(db.branches, [0, 2, 1])
+        np.testing.assert_allclose(db.scores, [-1.25, -0.5, -2.0], rtol=1e-6)
+
+    def test_64bit_size_t(self, tmp_path):
+        from epik_tpu.io.ipk_boost import read_ipk
+
+        p = tmp_path / "hand64.ipk"
+        p.write_bytes(self._archive("<Q"))
+        self._check_db(read_ipk(str(p)))
+
+    def test_32bit_size_t(self, tmp_path):
+        """Archives from 32-bit writer builds use 4-byte size_t prefixes;
+        the reader auto-detects the width from the signature prefix."""
+        from epik_tpu.io.ipk_boost import read_ipk
+
+        p = tmp_path / "hand32.ipk"
+        p.write_bytes(self._archive("<I"))
+        self._check_db(read_ipk(str(p)))
+
+    def test_zlib_wrapped(self, tmp_path):
+        import zlib
+
+        from epik_tpu.io.ipk_boost import read_ipk
+
+        p = tmp_path / "hand.ipk.z"
+        p.write_bytes(zlib.compress(self._archive("<Q")))
+        self._check_db(read_ipk(str(p)))
+
+    def test_load_filters_apply(self, tmp_path):
+        """mu prefix filtering applies to hand-authored bytes too (the
+        i2l::load contract, reference main.cpp:252-277): mu=0.5 keeps the
+        first stored k-mer record only."""
+        from epik_tpu.io.ipk_boost import load_ipk
+
+        p = tmp_path / "hand64.ipk"
+        p.write_bytes(self._archive("<Q"))
+        db = load_ipk(str(p), mu=0.5)
+        np.testing.assert_array_equal(db.keys, [6])
+        assert db.num_entries == 2
+
+    def test_write_ipk_matches_hand_bytes(self, tmp_path):
+        """write_ipk must emit exactly the hand-authored 64-bit layout --
+        pinning the writer against independent bytes, not itself."""
+        from epik_tpu.io.build import build_db
+        from epik_tpu.io.ipk_boost import write_ipk
+
+        db = build_db(
+            {6: [(0, -1.25), (2, -0.5)], 27: [(1, -2.0)]},
+            self.TREE.decode(), kmer_size=3,
+        )
+        p = tmp_path / "written.ipk"
+        write_ipk(db, str(p))
+        assert p.read_bytes() == self._archive("<Q")
