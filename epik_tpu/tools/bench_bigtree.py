@@ -70,7 +70,26 @@ def main(argv=None):
     pool = ThreadPoolExecutor(max_workers=args.inflight)
     batches = [reads[s : s + args.batch]
                for s in range(0, args.reads, args.batch)]
-    best = 0.0
+
+    # interleaved native C++ scalar baseline (-j 1), same noise regime as
+    # the TPU passes -- a constant from another day mis-states the ratio
+    # on this shared 2-core host (the d652 bench learned this in round 2)
+    base_fn = None
+    try:
+        from ..native import NativeScalarPlacer
+
+        nat = NativeScalarPlacer(db)
+        base_seqs = [s for _, s in reads[:3000]]
+        nat.place_scores(base_seqs[:100])
+
+        def base_fn():
+            t_b = time.time()
+            nat.place_scores(base_seqs)
+            return len(base_seqs) / (time.time() - t_b)
+    except Exception as e:  # pragma: no cover
+        log(f"native baseline unavailable ({e})")
+
+    best, base_best = 0.0, 0.0
     for p in range(3):
         t_run = time.time()
         futs = [pool.submit(placer.place, b)
@@ -78,16 +97,18 @@ def main(argv=None):
         for f in futs:
             f.result()
         rps = args.loops * args.reads / (time.time() - t_run)
-        log(f"pass {p + 1}: {rps:.0f} reads/s")
         best = max(best, rps)
+        b_rps = base_fn() if base_fn else 0.0
+        base_best = max(base_best, b_rps)
+        log(f"pass {p + 1}: tpu {rps:.0f} reads/s | baseline {b_rps:.0f}")
 
-    base = 19437.2  # native C++ scalar -j1, bench_rows_load_bigtreebase_r03
+    base = base_best if base_best else 19437.2  # r03 fallback constant
     print(json.dumps({
         "metric": "bigtree_reads_per_sec_per_chip",
         "value": round(best, 1),
         "unit": "reads/s",
         "vs_baseline": round(best / base, 2),
-        "baseline_native_scalar": base,
+        "baseline_native_scalar": round(base, 1),
         "mode": "posting_tiles" if placer._tiles_mode else (
             "dense" if placer._dense_db else "csr"),
         "branches": tree.get_node_count(),
