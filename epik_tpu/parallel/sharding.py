@@ -130,10 +130,20 @@ def shard_tiles_columns(db: PhyloKmerDB, n_model: int, B: int,
     """Column-sharded posting tiles for the big-tree mode.
 
     Shard m keeps, per key, only the postings whose branch falls in its
-    block [m*bwl, (m+1)*bwl), re-based to local ids, as interleaved
-    [branch | shifted-score-bits] pairs trash-padded to a common PT (the
-    max per-shard local posting count).  Returns
-    (tiles uint32[n_model, n_keys+1, 2*PT], bwl, PT)."""
+    block [m*bwl, (m+1)*bwl), re-based to local ids, trash-padded to a
+    common PT (the max per-shard local posting count).
+
+    Layout follows the single-chip round-4 rework: PACKED int32 cells
+    ``(local_branch << 16) | q`` (q = shifted score on a 64000-step grid)
+    whenever the per-shard branch block fits 15 bits -- halves the gather
+    bytes and runs the accumulate as exact bf16-digit MXU matmuls
+    (engine/placer.py::PlacerConfig.tile_payload).  Per-shard blocks are
+    B/n_model wide, so the gate virtually always holds; the f32
+    interleaved-pair layout remains as fallback.
+
+    Returns (tiles, bwl, PT, scale): tiles int32[n_model, n_keys+1, PT]
+    with quantization ``scale`` when packed, or uint32[n_model, n_keys+1,
+    2*PT] with scale == 0.0 (the f32 layout marker)."""
     from ..ops.pallas.accumulate import trash_branch
 
     n_keys = db.num_kmers
@@ -143,24 +153,38 @@ def shard_tiles_columns(db: PhyloKmerDB, n_model: int, B: int,
     br = db.branches.astype(np.int64)
     shard = br // bwl
     shifted = (db.scores.astype(np.float64) - float(log_eps)).astype(np.float32)
-    shifted = np.where(shifted <= 0.0, np.float32(1e-37), shifted)
-    sbits = shifted.view(np.uint32)
 
     counts = np.zeros((n_model, n_keys), np.int64)
     np.add.at(counts, (shard, rows_pp), 1)
     PT = -(-max(int(counts.max()), 1) // 8) * 8
-    tiles = np.empty((n_model, n_keys + 1, 2 * PT), np.uint32)
-    tiles[:, :, 0::2] = np.uint32(trash_branch(bwl))
-    tiles[:, :, 1::2] = np.float32(0.0).view(np.uint32)
+    packed = trash_branch(bwl) < (1 << 15)
+    if packed:
+        span = max(float(-log_eps), 1e-6)
+        scale = 64000.0 / span
+        q = np.clip(np.rint(shifted.astype(np.float64) * scale),
+                    1, 64000).astype(np.int64)
+        tiles = np.full((n_model, n_keys + 1, PT),
+                        np.int32(trash_branch(bwl) << 16), np.int32)
+    else:
+        scale = 0.0
+        shifted = np.where(shifted <= 0.0, np.float32(1e-37), shifted)
+        sbits = shifted.view(np.uint32)
+        tiles = np.empty((n_model, n_keys + 1, 2 * PT), np.uint32)
+        tiles[:, :, 0::2] = np.uint32(trash_branch(bwl))
+        tiles[:, :, 1::2] = np.float32(0.0).view(np.uint32)
     for m in range(n_model):
         mask = shard == m
         rows_m = rows_pp[mask]  # nondecreasing (rows_pp sorted)
         cm = counts[m]
         starts = np.concatenate([[0], np.cumsum(cm)])[:-1]
         cols = np.arange(rows_m.size, dtype=np.int64) - np.repeat(starts, cm)
-        tiles[m, rows_m, 2 * cols] = (br[mask] - m * bwl).astype(np.uint32)
-        tiles[m, rows_m, 2 * cols + 1] = sbits[mask]
-    return tiles, bwl, PT
+        local = br[mask] - m * bwl
+        if packed:
+            tiles[m, rows_m, cols] = ((local << 16) | q[mask]).astype(np.int32)
+        else:
+            tiles[m, rows_m, 2 * cols] = local.astype(np.uint32)
+            tiles[m, rows_m, 2 * cols + 1] = sbits[mask]
+    return tiles, bwl, PT, scale
 
 
 @dataclasses.dataclass
@@ -450,13 +474,14 @@ def _sharded_dense_paired_step(
     jax.jit,
     static_argnames=(
         "mesh", "R", "B", "bwl", "K", "k", "Lmax", "num_kmers", "PT",
-        "log_eps", "eps", "interpret",
+        "log_eps", "eps", "tile_scale", "interpret",
     ),
 )
 def _sharded_tiles_bytes_step(
     tiles_cols, direct, buf, *,
     mesh, R: int, B: int, bwl: int, K: int, k: int, Lmax: int,
     num_kmers: int, PT: int, log_eps: float, eps: float,
+    tile_scale: float = 0.0,
     interpret: bool = False,
 ):
     """Column-sharded posting-TILE step: the big-tree mode across chips.
@@ -465,13 +490,19 @@ def _sharded_tiles_bytes_step(
     per-key tiles of ONLY its local postings (branch ids re-based to the
     block).  Tokenization runs redundantly per shard (cheap VPU work
     against the replicated packed buffer); each shard row-gathers its own
-    tiles and accumulates with the sum-only one-hot MXU kernel; the merge
-    is the same O(R*K*n_model) collective tail as the dense sharded mode
-    (finish_scores_cols_shifted).  Engine analog:
+    tiles and accumulates with the MXU kernel; the merge is the same
+    O(R*K*n_model) collective tail as the dense sharded mode
+    (finish_scores_cols_shifted).  ``tile_scale`` > 0 selects the packed
+    int32 payload + exact bf16-digit accumulate (the round-4 single-chip
+    layout; shard_tiles_columns).  Engine analog:
     engine/placer.py::_place_batch_tiles_bytes."""
 
     def block(tiles, direct, buf):
-        from ..ops.pallas.accumulate import segment_accumulate_sums, trash_branch
+        from ..ops.pallas.accumulate import (
+            segment_accumulate_packed,
+            segment_accumulate_sums,
+            trash_branch,
+        )
 
         tiles = tiles[0]
         i32 = jnp.int32
@@ -485,16 +516,23 @@ def _sharded_tiles_bytes_step(
             f32(float(_U64)) + m_signed.astype(f32),
         )
         W = rows.shape[1]
-        g = tiles[rows].reshape(R, W * PT, 2)
-        b = g[..., 0].astype(i32)
-        s = jax.lax.bitcast_convert_type(g[..., 1], f32)
         pp = W * PT
         ch = 512
         pp_pad = -(-pp // ch) * ch
         trash = trash_branch(bwl)
-        b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
-        s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
-        Sp = segment_accumulate_sums(b, s, bwl, ch=ch, interpret=interpret)
+        if tile_scale > 0.0:
+            g = tiles[rows].reshape(R, pp)
+            g = jnp.pad(g, ((0, 0), (0, pp_pad - pp)),
+                        constant_values=np.int32(trash << 16))
+            Sq = segment_accumulate_packed(g, bwl, ch=ch, interpret=interpret)
+            Sp = Sq / f32(tile_scale)
+        else:
+            g = tiles[rows].reshape(R, pp, 2)
+            b = g[..., 0].astype(i32)
+            s = jax.lax.bitcast_convert_type(g[..., 1], f32)
+            b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
+            s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
+            Sp = segment_accumulate_sums(b, s, bwl, ch=ch, interpret=interpret)
         outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
                                           log_eps=log_eps)
         zero = jnp.int32(0)
@@ -676,6 +714,7 @@ class ShardedJaxPlacer(HostStaging):
         self._paired = False
         self._dev_direct11 = None
         self._tiles_mode = False
+        self._tile_scale = 0.0
         self._tile_pt = 0
         self._dev_direct = None
         self._dev_tiles = None
@@ -768,12 +807,13 @@ class ShardedJaxPlacer(HostStaging):
                 and db.num_kmers > 0
                 and 0 < max_plen <= 64
             ):
-                tiles, bwl_t, PT = shard_tiles_columns(
+                tiles, bwl_t, PT, t_scale = shard_tiles_columns(
                     db, self.n_model, self.B, float(self.log_eps)
                 )
                 if tiles.nbytes // self.n_model <= cfg.dense_db_budget:
                     self._tiles_mode = True
                     self._tile_pt = PT
+                    self._tile_scale = t_scale
                     self._bwl = bwl_t
                     self._dev_tiles = jax.device_put(tiles, spec_m)
                     direct = np.full(4**self.k, db.num_kmers, dtype=np.int32)
@@ -844,7 +884,7 @@ class ShardedJaxPlacer(HostStaging):
             self._dev_tiles, self._dev_direct, buf,
             mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
             k=self.k, Lmax=Lmax, num_kmers=self.db.num_kmers,
-            PT=self._tile_pt,
+            PT=self._tile_pt, tile_scale=float(self._tile_scale),
             log_eps=float(self.log_eps), eps=float(self.eps),
             interpret=self._interpret,
         )
