@@ -95,10 +95,17 @@ def epik():
               default="auto", show_default=True,
               help="(k+1)-mer pair plane: one row gather per two windows "
                    "when the combined plane fits HBM.")
+@click.option("--tile-payload", type=click.Choice(["auto", "packed", "f32"]),
+              default="auto", show_default=True,
+              help="Posting-tile cell layout (the big-tree path): packed "
+                   "int32 (branch<<16 | quantized score; half the gather "
+                   "bytes + exact bf16-digit MXU accumulate) or bit-exact "
+                   "f32 pairs.")
 @click.argument("input_file", type=click.Path(exists=True))
 def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
           keep_at_most, keep_factor, engine, n_model, platform, inflight,
           resume, verbose, profile_dir, precision, plane_mode, pair_plane,
+          tile_payload,
           input_file):
     """Places .fasta files using the input phylo-k-mer database.
 
@@ -114,6 +121,7 @@ def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
         engine=engine, resume=resume, verbose=verbose, profile_dir=profile_dir,
         n_model=n_model, inflight=inflight, precision=precision,
         plane_mode=plane_mode, pair_plane=pair_plane,
+        tile_payload=tile_payload,
     )
     if rc:
         raise SystemExit(rc)
@@ -160,7 +168,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
                   input_file, batch_size=2000, keep_at_most=7, keep_factor=0.01,
                   engine="jax", invocation=None, resume=False, verbose=False,
                   profile_dir=None, n_model=1, inflight=3, precision="exact",
-                  plane_mode="shifted", pair_plane="auto") -> int:
+                  plane_mode="shifted", pair_plane="auto",
+                  tile_payload="auto") -> int:
     """Full pipeline orchestration (reference: main.cpp:237-383)."""
     if not (0.0 <= mu <= 1.0):
         click.echo("Error: Mu has to a value in [0, 1]", err=True)
@@ -223,7 +232,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
 
         mesh = make_mesh(n_model=n_model)
         cfg = PlacerConfig(host_threads=max(1, threads), precision=precision,
-                           plane_mode=plane_mode, pair_plane=pair_plane)
+                           plane_mode=plane_mode, pair_plane=pair_plane,
+                           tile_payload=tile_payload)
         placer = ShardedJaxPlacer(db, tree, mesh, keep_at_most=keep_at_most,
                                   keep_factor=keep_factor, config=cfg)
         engine_name = (
@@ -234,7 +244,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
         from ..engine.placer import JaxPlacer, PlacerConfig
 
         cfg = PlacerConfig(host_threads=max(1, threads), precision=precision,
-                           plane_mode=plane_mode, pair_plane=pair_plane)
+                           plane_mode=plane_mode, pair_plane=pair_plane,
+                           tile_payload=tile_payload)
         placer = JaxPlacer(db, tree, keep_at_most=keep_at_most,
                            keep_factor=keep_factor, config=cfg)
         import jax
