@@ -98,3 +98,90 @@ class TestRaggedExpand:
             assert int(total) == len(expect)
             got = [(int(w), int(e)) for w, e in zip(win, elem) if w >= 0]
             assert got == expect
+
+
+class TestPackedAccumulate:
+    """ops/pallas/accumulate.py packed-payload kernels (interpret mode on
+    CPU) against a numpy scatter oracle."""
+
+    def _mk(self, R, PP, B, seed=0, frac_trash=0.3):
+        import numpy as np
+
+        from epik_tpu.ops.pallas.accumulate import trash_branch
+
+        rng = np.random.default_rng(seed)
+        b = rng.integers(0, B, (R, PP)).astype(np.int32)
+        q = rng.integers(1, 64001, (R, PP)).astype(np.int32)
+        trash = trash_branch(B)
+        mask = rng.random((R, PP)) < frac_trash
+        b[mask] = trash
+        q[mask] = 0
+        return (b << 16) | q, b, q, trash
+
+    def test_sums_match_numpy(self):
+        import numpy as np
+
+        from epik_tpu.ops.pallas.accumulate import (
+            NH_LANES,
+            segment_accumulate_packed,
+        )
+
+        R, PP, B = 16, 1024, 300
+        g, b, q, trash = self._mk(R, PP, B)
+        got = np.asarray(
+            segment_accumulate_packed(g, B, tr=8, ch=512, interpret=True)
+        )
+        nh = (B + 1 + NH_LANES - 1) // NH_LANES
+        want = np.zeros((R, nh * NH_LANES))
+        for r in range(R):
+            np.add.at(want[r], b[r], q[r])
+        # EXACT integer sums (bf16 digit decomposition, f32 accumulators)
+        np.testing.assert_array_equal(got, want[:, :B])
+
+    def test_fused_topk_matches_xla_finish(self):
+        import numpy as np
+
+        from epik_tpu.engine.placer import (
+            _pack_outputs_slim,
+            finish_scores_shifted,
+        )
+        from epik_tpu.ops.pallas.accumulate import (
+            segment_accumulate_packed,
+            segment_accumulate_packed_topk,
+        )
+
+        R, PP, B, K, k = 16, 1024, 300, 7, 10
+        log_eps, scale = -4.26, 15023.0
+        g, b, q, trash = self._mk(R, PP, B, seed=3)
+        # a read with NO touched branches (all trash) and one with few
+        g[0] = np.int32(trash << 16)
+        g[1, 8:] = np.int32(trash << 16)
+        import numpy as _np
+
+        m = _np.full(R, 141.0, _np.float32)
+        got = np.asarray(segment_accumulate_packed_topk(
+            g, m, B, K, k=k, log_eps=log_eps, scale=scale,
+            tr=8, ch=512, interpret=True,
+        ))
+        Sq = np.asarray(
+            segment_accumulate_packed(g, B, tr=8, ch=512, interpret=True)
+        )
+        import jax.numpy as jnp
+
+        outs = finish_scores_shifted(
+            jnp.asarray(Sq / np.float32(scale)), jnp.asarray(m),
+            B=B, K=K, k=k, log_eps=log_eps,
+        )
+        want = np.asarray(_pack_outputs_slim(outs))
+        # scores / log_sum / n / zero_sum agree to f32 rounding; indices
+        # agree exactly on LIVE entries (for -inf slots the kernel repeats
+        # index 0 while lax.top_k counts up -- both are dropped by the
+        # host's n_eff cut, assemble_arrays)
+        np.testing.assert_allclose(got[:, :K], want[:, :K], rtol=1e-5,
+                                   atol=1e-5)
+        live = np.isfinite(want[:, :K])
+        np.testing.assert_array_equal(got[:, K:2 * K][live],
+                                      want[:, K:2 * K][live])
+        np.testing.assert_allclose(got[:, 2 * K], want[:, 2 * K], rtol=1e-5)
+        np.testing.assert_array_equal(got[:, 2 * K + 1], want[:, 2 * K + 1])
+        np.testing.assert_array_equal(got[:, 2 * K + 2], want[:, 2 * K + 2])
