@@ -1,9 +1,13 @@
 """Device-resident stage timings for the production step (R=8192).
 
-Separates the fused program into its stages to attribute the per-batch
-wall time: tokenize, row gather (full vs paired width), finish
-(correction + LWR + top-k), and the full step.  All inputs stay resident;
-reps dispatch back-to-back and sync once, so tunnel RPC amortizes away.
+METHODOLOGY WARNING (round 4): the standalone sub-stage rows are polluted
+by fetching each stage's materialized output over the ~40 MB/s tunnel
+(and `block_until_ready` does not block under axon) -- only the FULL
+fused-step row is a valid number.  The round-3 "fused-step ceiling"
+derived from these rows understated the chip: the round-4 end-to-end
+bench sustains 190k reads/s, above that "ceiling".  See docs/ROOFLINE.md
+"round 4 measurement-methodology corrections" for the corrected method
+(chained distinct dispatches + scalar-fetch sync).
 
 Run: python -m epik_tpu.tools.profile_step_stages
 """

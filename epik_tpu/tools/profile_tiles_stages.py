@@ -1,8 +1,13 @@
 """Stage timings for the big-tree posting-tile step (BASELINE.md config 4).
 
-Separates the fused tile program into tokenize, tile row-gather, unpack,
-MXU accumulate, finish -- to attribute the per-batch time at the 10k-taxa
-shape before optimizing (round-4 ask #2: take config 4 from 1.76x to 4x).
+METHODOLOGY WARNING (round 4): the standalone per-stage numbers printed
+here are dominated by fetching each stage's materialized output over the
+~40 MB/s tunnel and are NOT a valid attribution -- only the FULL fused
+step row is meaningful.  Use tools/profile_tiles_fused.py (fused variants
+reducing to tiny outputs) and tools/bench_tile_kernels.py (chained
+distinct dispatches + scalar-fetch sync) for real attribution; see
+docs/ROOFLINE.md "round 4 measurement-methodology corrections".  Kept for
+the full-step timing and as the record of the corrected mistake.
 
 Run: python -m epik_tpu.tools.profile_tiles_stages [--leaves 10000] [--batch 4096]
 """
