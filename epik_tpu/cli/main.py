@@ -101,11 +101,24 @@ def epik():
                    "int32 (branch<<16 | quantized score; half the gather "
                    "bytes + exact bf16-digit MXU accumulate) or bit-exact "
                    "f32 pairs.")
+@click.option("--coordinator", type=str, default=None,
+              help="Multi-host: coordinator address host:port (rank 0 "
+                   "serves it); requires --num-processes and --process-id.")
+@click.option("--num-processes", type=int, default=None,
+              help="Multi-host: total process count.")
+@click.option("--process-id", type=int, default=None,
+              help="Multi-host: this process's rank.")
+@click.option("--collective-timeout", type=float, default=300.0,
+              show_default=True,
+              help="Multi-host: seconds a device step may stall before the "
+                   "watchdog exits the process for supervised restart "
+                   "(resume from the jplace sidecar with --resume).")
 @click.argument("input_file", type=click.Path(exists=True))
 def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
           keep_at_most, keep_factor, engine, n_model, platform, inflight,
           resume, verbose, profile_dir, precision, plane_mode, pair_plane,
-          tile_payload,
+          tile_payload, coordinator, num_processes, process_id,
+          collective_timeout,
           input_file):
     """Places .fasta files using the input phylo-k-mer database.
 
@@ -121,7 +134,9 @@ def place(database, states, omega, mu, outputdir, threads, max_ram, batch_size,
         engine=engine, resume=resume, verbose=verbose, profile_dir=profile_dir,
         n_model=n_model, inflight=inflight, precision=precision,
         plane_mode=plane_mode, pair_plane=pair_plane,
-        tile_payload=tile_payload,
+        tile_payload=tile_payload, coordinator=coordinator,
+        num_processes=num_processes, process_id=process_id,
+        collective_timeout=collective_timeout,
     )
     if rc:
         raise SystemExit(rc)
@@ -169,7 +184,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
                   engine="jax", invocation=None, resume=False, verbose=False,
                   profile_dir=None, n_model=1, inflight=3, precision="exact",
                   plane_mode="shifted", pair_plane="auto",
-                  tile_payload="auto") -> int:
+                  tile_payload="auto", coordinator=None, num_processes=None,
+                  process_id=None, collective_timeout=300.0) -> int:
     """Full pipeline orchestration (reference: main.cpp:237-383)."""
     if not (0.0 <= mu <= 1.0):
         click.echo("Error: Mu has to a value in [0, 1]", err=True)
@@ -227,9 +243,16 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
         import jax
 
         from ..engine.placer import PlacerConfig
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import init_distributed, make_mesh
         from ..parallel.sharding import ShardedJaxPlacer
 
+        if coordinator or num_processes:
+            # multi-host launch: one CLI invocation per process, a shared
+            # coordinator, one global mesh (SURVEY.md section 5.8 --
+            # green-field vs the single-process reference)
+            init_distributed(coordinator, num_processes=num_processes,
+                             process_id=process_id,
+                             initialization_timeout=collective_timeout)
         mesh = make_mesh(n_model=n_model)
         cfg = PlacerConfig(host_threads=max(1, threads), precision=precision,
                            plane_mode=plane_mode, pair_plane=pair_plane,
@@ -296,6 +319,27 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
 
     from ..engine.pipeline import run_pipeline
 
+    # multi-host: a dead peer leaves this process blocked inside an XLA
+    # collective; the watchdog turns that into a STALL_EXIT_CODE exit so a
+    # supervisor can restart every rank with --resume (the per-batch
+    # jplace sidecar makes restart cheap; parallel/mesh.py)
+    dog = None
+    if num_processes and num_processes > 1:
+        from ..parallel.mesh import BatchWatchdog
+
+        dog = BatchWatchdog(collective_timeout, rank=process_id)
+        inner_place = placer.place
+
+        class _Guarded:
+            def place(self, batch):
+                dog.arm(f"batch of {len(batch)}")
+                try:
+                    return inner_place(batch)
+                finally:
+                    dog.disarm()
+
+        guarded = _Guarded()
+        guarded_placer, placer = placer, guarded
     if profile_dir:
         import jax
 
@@ -304,6 +348,8 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
         stats = run_pipeline(placer, reader, writer, progress=progress,
                              inflight=inflight)
     finally:
+        if dog is not None:
+            dog.stop()
         if profile_dir:
             import jax
 
