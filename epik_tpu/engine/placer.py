@@ -1146,7 +1146,7 @@ def device_tokenize_codes(buf, *, k: int, sigma: int, Lmax: int):
     jax.jit,
     static_argnames=(
         "R", "B", "K", "Amax", "k", "sigma", "Lmax", "num_kmers",
-        "shift", "n_probe", "plane_scale", "interpret",
+        "shift", "n_probe", "off_bits", "plane_scale", "interpret",
     ),
 )
 def _place_batch_dense_codes(
@@ -1168,6 +1168,7 @@ def _place_batch_dense_codes(
     n_probe: int,
     log_eps,
     eps,
+    off_bits: int = 0,
     plane_scale: float = 1.0,
     interpret: bool = False,
 ):
@@ -1175,12 +1176,19 @@ def _place_batch_dense_codes(
     tokenization + radix-index lookup (ops/radix_lookup.py) + shifted row
     gather.  Removes ALL per-window host work from the amino path, which
     was host-staging-bound (~60 ms/2000 reads of searchsorted + row fill
-    on a 2-core host vs ~10 ms of device element gathers)."""
-    from ..ops.radix_lookup import radix_lookup
+    on a 2-core host vs ~10 ms of device element gathers).
+
+    ``off_bits`` > 0 selects the PACKED 3-gather-pass lookup (off/low then
+    hold offc/low2; ops/radix_lookup.py::radix_lookup_packed)."""
+    from ..ops.radix_lookup import radix_lookup, radix_lookup_packed
 
     a, b, ok, lens = device_tokenize_codes(buf, k=k, sigma=sigma, Lmax=Lmax)
-    rows = radix_lookup(off, low, a, b, shift=shift, n_probe=n_probe,
-                        n_keys=num_kmers)
+    if off_bits > 0:
+        rows = radix_lookup_packed(off, low, a, b, shift=shift,
+                                   off_bits=off_bits, n_keys=num_kmers)
+    else:
+        rows = radix_lookup(off, low, a, b, shift=shift, n_probe=n_probe,
+                            n_keys=num_kmers)
     rows = jnp.where(ok, rows, jnp.int32(num_kmers))
     f32 = jnp.float32
     m_signed = lens - jnp.int32(k - 1)
@@ -2226,6 +2234,7 @@ class JaxPlacer(HostStaging):
             sigma=self.alphabet.sigma, Lmax=Lmax,
             num_kmers=self.db.num_kmers,
             shift=self._radix.shift, n_probe=self._radix.max_bucket,
+            off_bits=self._radix.off_bits if self._radix.packed else 0,
             log_eps=float(self.log_eps), eps=float(self.eps),
             plane_scale=float(self._plane_scale), interpret=self._interpret,
         )

@@ -42,8 +42,23 @@ class RadixIndex:
     low: np.ndarray  # int32 (n,) low `shift` bits of each sorted key
     shift: int  # low-bits width (<= 31)
     max_bucket: int  # probe count the device loop must unroll
+    #: PACKED lookup tables (round 4; present when the packable gate holds:
+    #: shift <= 15, max_bucket <= 3, n fits the offset field).  offc[b] =
+    #: start | (count << off_bits) -- ONE gather replaces the off[b]/off[b+1]
+    #: pair; low2[w] = low[2w] | (low[2w+1] << shift) -- any <= 3 consecutive
+    #: probe positions live in 2 words.  Lookup passes: 5 -> 3 (measured
+    #: 19.8 -> ~12 ms per 4096x137-window amino batch).
+    offc: np.ndarray | None = None
+    low2: np.ndarray | None = None
+    off_bits: int = 0
+
+    @property
+    def packed(self) -> bool:
+        return self.offc is not None
 
     def device_arrays(self):
+        if self.packed:
+            return jnp.asarray(self.offc), jnp.asarray(self.low2)
         return jnp.asarray(self.off), jnp.asarray(self.low)
 
 
@@ -69,16 +84,24 @@ def build_radix(keys: np.ndarray, key_bits: int, max_table_bits: int = 24) -> Ra
     off = np.zeros((1 << table_bits) + 1, np.int32)
     np.cumsum(counts, out=off[1:])
     low = (keys & np.uint64((1 << shift) - 1)).astype(np.int32)
-    return RadixIndex(
-        off=off, low=low, shift=shift,
-        max_bucket=int(counts.max()) if n else 0,
-    )
+    max_bucket = int(counts.max()) if n else 0
+    idx = RadixIndex(off=off, low=low, shift=shift, max_bucket=max_bucket)
+    # packed variant (see RadixIndex.offc): 3 gather passes instead of 5
+    cb = max(max_bucket, 1).bit_length()
+    off_bits = 31 - cb
+    if n and max_bucket <= 3 and 0 < shift <= 15 and n < (1 << off_bits):
+        idx.off_bits = off_bits
+        idx.offc = (off[:-1] | (counts.astype(np.int64) << off_bits)).astype(
+            np.int32
+        )
+        nw = (n + 2) // 2  # +1 pad word so w0+1 is always in bounds
+        lp = np.zeros(2 * nw, np.int64)
+        lp[:n] = low
+        idx.low2 = (lp[0::2] | (lp[1::2] << shift)).astype(np.int32)
+    return idx
 
 
-def radix_lookup(off, low, a, b, *, shift: int, n_probe: int, n_keys: int):
-    """Device lookup: key row indices for keys given as uint32 halves
-    ``key = a * 2**16 + b``.  Misses return ``n_keys`` (the all-zero plane
-    row).  All arithmetic is uint32/int32 (no x64)."""
+def _split_bucket_lo(a, b, shift: int):
     i32 = jnp.int32
     u32 = jnp.uint32
     a = a.astype(u32)
@@ -90,6 +113,43 @@ def radix_lookup(off, low, a, b, *, shift: int, n_probe: int, n_keys: int):
     else:
         bucket = ((a << u32(16 - shift)) | (b >> u32(shift))).astype(i32)
         lo = (b & u32((1 << shift) - 1)).astype(i32)
+    return bucket, lo
+
+
+def radix_lookup_packed(offc, low2, a, b, *, shift: int, off_bits: int,
+                        n_keys: int):
+    """Packed device lookup: THREE element-gather passes total.
+
+    ``offc[bucket]`` yields start+count in one gather; two ``low2`` words
+    cover every candidate position (max_bucket <= 3, the build gate).
+    Misses return ``n_keys``.  All int32 (no x64)."""
+    i32 = jnp.int32
+    bucket, lo = _split_bucket_lo(a, b, shift)
+    oc = jnp.take(offc, bucket, axis=0)
+    st = oc & i32((1 << off_bits) - 1)
+    cnt = oc >> i32(off_bits)  # oc is non-negative (off_bits <= 29)
+    en = st + cnt
+    w0 = st >> 1
+    nw = low2.shape[0]
+    l01 = jnp.take(low2, w0, axis=0)
+    l23 = jnp.take(low2, jnp.minimum(w0 + 1, nw - 1), axis=0)
+    mask = i32((1 << shift) - 1)
+    row = jnp.full(a.shape, n_keys, i32)
+    base = w0 * 2
+    for j, cand in enumerate((l01 & mask, l01 >> shift,
+                              l23 & mask, l23 >> shift)):
+        pos = base + j
+        hit = (pos >= st) & (pos < en) & (cand == lo)
+        row = jnp.where(hit, pos, row)
+    return row
+
+
+def radix_lookup(off, low, a, b, *, shift: int, n_probe: int, n_keys: int):
+    """Device lookup: key row indices for keys given as uint32 halves
+    ``key = a * 2**16 + b``.  Misses return ``n_keys`` (the all-zero plane
+    row).  All arithmetic is uint32/int32 (no x64)."""
+    i32 = jnp.int32
+    bucket, lo = _split_bucket_lo(a, b, shift)
     st = jnp.take(off, bucket, axis=0)
     en = jnp.take(off, bucket + 1, axis=0)
     row = jnp.full(a.shape, n_keys, i32)

@@ -800,10 +800,40 @@ class TestAminoCodesPath:
         ])
         a = (queries >> np.uint64(16)).astype(np.uint32)
         b = (queries & np.uint64(0xFFFF)).astype(np.uint32)
+        assert not idx.packed  # shift 21 > 15: the classic probe path
         off, low = idx.device_arrays()
         got = np.asarray(radix_lookup(off, low, jnp.asarray(a), jnp.asarray(b),
                                       shift=idx.shift, n_probe=idx.max_bucket,
                                       n_keys=keys.size))
+        pos = np.searchsorted(keys, queries)
+        pos_c = np.minimum(pos, keys.size - 1)
+        want = np.where(keys[pos_c] == queries, pos_c, keys.size)
+        np.testing.assert_array_equal(got, want)
+
+    def test_radix_lookup_packed_exact(self):
+        """The packed 3-gather lookup (round 4) vs np.searchsorted; narrow
+        keys so shift <= 15 and max_bucket <= 3 enable the packed gate."""
+        import jax.numpy as jnp
+
+        from epik_tpu.ops.radix_lookup import build_radix, radix_lookup_packed
+
+        rng = np.random.default_rng(7)
+        key_bits = 30
+        keys = np.unique(rng.integers(0, 1 << key_bits, 20000,
+                                      dtype=np.uint64))
+        idx = build_radix(keys, key_bits)
+        assert idx.packed, (idx.shift, idx.max_bucket)
+        queries = np.concatenate([
+            keys[rng.integers(0, keys.size, 3000)],
+            rng.integers(0, 1 << key_bits, 3000, dtype=np.uint64),
+            keys[:2], keys[-2:],  # boundary positions incl. the pad word
+        ])
+        a = (queries >> np.uint64(16)).astype(np.uint32)
+        b = (queries & np.uint64(0xFFFF)).astype(np.uint32)
+        offc, low2 = idx.device_arrays()
+        got = np.asarray(radix_lookup_packed(
+            offc, low2, jnp.asarray(a), jnp.asarray(b),
+            shift=idx.shift, off_bits=idx.off_bits, n_keys=keys.size))
         pos = np.searchsorted(keys, queries)
         pos_c = np.minimum(pos, keys.size - 1)
         want = np.where(keys[pos_c] == queries, pos_c, keys.size)
