@@ -653,8 +653,7 @@ def _place_batch_dense_bytes(
 )
 def _place_batch_dense_paired(
     plane_s,
-    direct,
-    direct11,
+    combo,
     buf,
     arows,
     *,
@@ -673,10 +672,13 @@ def _place_batch_dense_paired(
 
     Same contract as :func:`_place_batch_dense_bytes` in shifted mode, but
     the row gather runs over ceil(W/2) pair slots instead of W windows --
-    the row-issue count (the measured bound of the hot loop) halves.
+    the row-issue count halves -- and slot rows resolve through the
+    unified combo table (ONE element gather per slot,
+    :func:`device_tokenize_combo`; round 4: the three separate table
+    passes were 16.7 of the 43.1 ms step).
     """
-    rows, lens = device_tokenize_paired(
-        buf, direct, direct11, k=k, Lmax=Lmax, num_kmers=num_kmers
+    rows, lens = device_tokenize_combo(
+        buf, combo, k=k, Lmax=Lmax, num_kmers=num_kmers
     )
     f32 = jnp.float32
     m_signed = lens - jnp.int32(k - 1)
@@ -927,6 +929,12 @@ def device_tokenize_paired(buf, direct, direct11, *, k: int, Lmax: int,
     :func:`device_tokenize_packed` -- with identical summed scores.
 
     Returns (slot_rows (R, ceil(W/2)) int32, lens (R,) int32).
+
+    NOTE: superseded on the production path by
+    :func:`device_tokenize_combo` (ONE element gather per slot instead of
+    three -- tokenize measured 16.7 of the 43.1 ms step, mostly these
+    table gathers); kept for the tile pair mode and as the reference
+    formulation the combo table must reproduce.
     """
     i32 = jnp.int32
     key, ok, c, lens = _tokenize_core(buf, k=k, Lmax=Lmax)
@@ -951,6 +959,81 @@ def device_tokenize_paired(buf, direct, direct11, *, k: int, Lmax: int,
     r2 = rows10p[:, 1::2]
     single = jnp.where(r1 != i32(num_kmers), r1, r2)
     return jnp.where(prow_e >= 0, prow_e, single), lens
+
+
+def build_combo_table(direct: np.ndarray, direct11: np.ndarray, k: int,
+                      num_kmers: int) -> np.ndarray:
+    """ONE-gather slot-row table for the paired tokenizer.
+
+    Layout (int32, size 4**(k+1) + 4**k + 1):
+
+      [0, 4**(k+1))              fully-valid slots indexed by the
+                                 (k+1)-mer: pair row if the pair exists,
+                                 else the one hitting single's row (the
+                                 pair identity guarantees at most one),
+                                 else the miss row;
+      [4**(k+1), 4**(k+1)+4**k)  single-window fallback region indexed by
+                                 a k-mer (mixed-validity slots: read
+                                 tails, windows adjacent to bad chars) --
+                                 a copy of ``direct`` with misses mapped
+                                 to the zero row;
+      last cell                  the miss row (slots with no valid window).
+
+    Collapses the paired path's 3 element-gather passes per 2 windows
+    (prefix + suffix + pair tables) into 1.
+    """
+    n11 = direct11.shape[0]
+    nk = direct.shape[0]
+    combo = np.empty(n11 + nk + 1, np.int32)
+    pre = direct[np.arange(n11, dtype=np.int64) >> (2 * 1)]  # key11 // 4
+    # suffix k-mer = key11 mod 4**k
+    suf = direct[np.arange(n11, dtype=np.int64) & (nk - 1)]
+    single = np.where(pre != num_kmers, pre, suf)
+    combo[:n11] = np.where(direct11 >= 0, direct11, single)
+    combo[n11 : n11 + nk] = direct
+    combo[-1] = num_kmers
+    return combo
+
+
+def device_tokenize_combo(buf, combo, *, k: int, Lmax: int, num_kmers: int):
+    """Paired tokenizer with the unified combo table: ONE element gather
+    per 2-window slot (vs three table passes in
+    :func:`device_tokenize_paired`; see :func:`build_combo_table`).
+
+    Semantically identical by construction: the fully-valid region bakes
+    the pair/single/miss decision chain in at build time, and slots where
+    only one window is valid (read tails, bad-character neighborhoods)
+    index the fallback region with that window's k-mer.
+
+    Returns (slot_rows (R, ceil(W/2)) int32, lens (R,) int32)."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    key, ok, c, lens = _tokenize_core(buf, k=k, Lmax=Lmax)
+    R, W = key.shape
+    Wp = (W + 1) // 2
+    n11 = u32(4 ** (k + 1))
+    miss_idx = u32(4 ** (k + 1) + 4**k)
+    # per-slot pieces (slot j = windows 2j, 2j+1); pad the odd tail
+    keyp = jnp.pad(key, ((0, 0), (0, 2 * Wp - W)))
+    okp2 = jnp.pad(ok, ((0, 0), (0, 2 * Wp - W)), constant_values=False)
+    kp = keyp[:, 0::2]
+    ks = keyp[:, 1::2]
+    op = okp2[:, 0::2]
+    os_ = okp2[:, 1::2]
+    if W >= 2:
+        key11 = key[:, : W - 1] * u32(4) + c[:, k : k + W - 1]
+        ok11 = ok[:, : W - 1] & ok[:, 1:]
+        k11 = jnp.pad(key11, ((0, 0), (0, 2 * Wp - 1 - (W - 1))))[:, 0::2]
+        o11 = jnp.pad(ok11, ((0, 0), (0, 2 * Wp - 1 - (W - 1))),
+                      constant_values=False)[:, 0::2]
+    else:
+        k11 = jnp.zeros((R, Wp), u32)
+        o11 = jnp.zeros((R, Wp), bool)
+    fb_key = jnp.where(op, kp, ks)
+    fb_ok = op | os_
+    idx = jnp.where(o11, k11, jnp.where(fb_ok, n11 + fb_key, miss_idx))
+    rows = jnp.take(combo, idx.astype(i32), axis=0)
+    return rows, lens
 
 
 @functools.partial(
@@ -1695,7 +1778,7 @@ class JaxPlacer(HostStaging):
         # n_keys so every existing miss sentinel stays valid; pair rows
         # append after it.
         self._paired = False
-        self._dev_direct11 = None
+        self._dev_combo = None
         if (
             self._fast_bytes
             and self._shifted
@@ -1727,7 +1810,12 @@ class JaxPlacer(HostStaging):
             ):
                 direct11 = np.full(4 ** (self.k + 1), -1, dtype=np.int32)
                 direct11[key11] = n_keys + 1 + np.arange(n_pairs, dtype=np.int32)
-                self._dev_direct11 = jnp.asarray(direct11)
+                # ONE-gather slot-row resolution (round 4); subsumes the
+                # separate prefix/suffix/pair table lookups
+                self._dev_combo = jnp.asarray(
+                    build_combo_table(self._direct_np, direct11, self.k,
+                                      n_keys)
+                )
                 # combined plane built with donated in-place fills: peak HBM
                 # = final + one chunk (vs 2x final for a concatenate); pair
                 # rows = f32 sum of the two shifted rows, gathered from the
@@ -2164,7 +2252,7 @@ class JaxPlacer(HostStaging):
                 interpret=self._interpret,
             )
             arrays = (
-                self._plane_s, self._dev_direct, self._dev_direct11,
+                self._plane_s, self._dev_combo,
                 jnp.asarray(buf), jnp.asarray(arows),
             )
             return fn, arrays, m_signed, R_true, K

@@ -61,8 +61,9 @@ from ..engine.placer import (
     dense_amb_from_rows,
     dense_sums_from_rows,
     dense_sums_shifted,
+    build_combo_table,
+    device_tokenize_combo,
     device_tokenize_packed,
-    device_tokenize_paired,
     enumerate_pairs,
     finish_scores,
     pack_reads,
@@ -427,7 +428,7 @@ def _sharded_dense_bytes_step(
     ),
 )
 def _sharded_dense_paired_step(
-    plane_cols, direct, direct11, buf, arows, *,
+    plane_cols, combo, buf, arows, *,
     mesh, R: int, B: int, bwl: int, K: int, Amax: int, k: int, Lmax: int,
     num_kmers: int, log_eps: float, eps: float,
 ):
@@ -436,12 +437,14 @@ def _sharded_dense_paired_step(
     Identical collective structure to :func:`_sharded_dense_bytes_step`;
     the per-shard row gather runs over ceil(W/2) pair slots (each shard's
     pair rows are the column-slices of the global pair rows, so the sums
-    compose per column exactly as in the single-chip engine)."""
+    compose per column exactly as in the single-chip engine).  Slot rows
+    resolve through the unified combo table (one element gather per slot,
+    engine/placer.py::device_tokenize_combo, round 4)."""
 
-    def block(plane, direct, direct11, buf, arows):
+    def block(plane, combo, buf, arows):
         plane = plane[0]
-        rows, lens = device_tokenize_paired(
-            buf, direct, direct11, k=k, Lmax=Lmax, num_kmers=num_kmers
+        rows, lens = device_tokenize_combo(
+            buf, combo, k=k, Lmax=Lmax, num_kmers=num_kmers
         )
         f32 = jnp.float32
         m_signed = lens - jnp.int32(k - 1)
@@ -464,10 +467,10 @@ def _sharded_dense_paired_step(
     return jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(MODEL_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
         check_vma=False,
-    )(plane_cols, direct, direct11, buf, arows)
+    )(plane_cols, combo, buf, arows)
 
 
 @functools.partial(
@@ -712,7 +715,7 @@ class ShardedJaxPlacer(HostStaging):
                  or float(db.scores.min()) >= float(self.log_eps))
         )
         self._paired = False
-        self._dev_direct11 = None
+        self._dev_combo = None
         self._tiles_mode = False
         self._tile_scale = 0.0
         self._tile_pt = 0
@@ -757,8 +760,9 @@ class ShardedJaxPlacer(HostStaging):
                 ):
                     d11 = np.full(4 ** (self.k + 1), -1, dtype=np.int32)
                     d11[key11] = n_keys + 1 + np.arange(n_pairs, dtype=np.int32)
-                    self._dev_direct11 = jax.device_put(
-                        d11, NamedSharding(mesh, P())
+                    self._dev_combo = jax.device_put(
+                        build_combo_table(direct, d11, self.k, n_keys),
+                        NamedSharding(mesh, P()),
                     )
                     full = np.zeros(
                         (self.n_model, n_keys + 1 + n_pairs, self._bwl),
@@ -930,7 +934,7 @@ class ShardedJaxPlacer(HostStaging):
             buf = pack_reads(codes, lens_pad)
             if self._paired:
                 out = _sharded_dense_paired_step(
-                    self._plane_cols, self._dev_direct, self._dev_direct11,
+                    self._plane_cols, self._dev_combo,
                     buf, arows,
                     mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
                     Amax=Amax, k=self.k, Lmax=Lmax,
