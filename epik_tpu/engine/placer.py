@@ -171,6 +171,32 @@ def _plane_fill(plane, start, vals):
     return jax.lax.dynamic_update_slice(plane, vals, (start, jnp.int32(0)))
 
 
+def enumerate_pairs_generic(keys: np.ndarray, k: int, sigma: int):
+    """Generic-alphabet pair enumeration (no direct table): for each key u
+    and each of the ``sigma`` suffix extensions c, the (k+1)-mer pair
+    exists iff v = (u mod sigma**(k-1))*sigma + c is also a key -- found by
+    binary search over the sorted key array.  Returns (pu, pv, key11)
+    SORTED by key11 (the pair radix index requires sorted keys and its row
+    answers are positions in that order)."""
+    keys = keys.astype(np.uint64)
+    n = keys.shape[0]
+    suf_core = (keys % np.uint64(sigma ** (k - 1))) * np.uint64(sigma)
+    pu_l, pv_l, k11_l = [], [], []
+    for c in range(sigma):
+        v = suf_core + np.uint64(c)
+        pos = np.searchsorted(keys, v)
+        pos_c = np.minimum(pos, max(n - 1, 0))
+        m = keys[pos_c] == v
+        pu_l.append(np.flatnonzero(m).astype(np.int32))
+        pv_l.append(pos_c[m].astype(np.int32))
+        k11_l.append(keys[m] * np.uint64(sigma) + np.uint64(c))
+    pu = np.concatenate(pu_l)
+    pv = np.concatenate(pv_l)
+    key11 = np.concatenate(k11_l)
+    order = np.argsort(key11, kind="stable")
+    return pu[order], pv[order], key11[order]
+
+
 def enumerate_pairs(keys: np.ndarray, k: int, direct: np.ndarray, n_keys: int):
     """Enumerate every (k+1)-mer whose prefix and suffix k-mers are both
     DB keys: for each key u and each of the 4 suffix extensions c, the
@@ -1292,6 +1318,105 @@ def _place_batch_dense_codes(
     return _pack_outputs_slim(outs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "R", "B", "K", "Amax", "k", "sigma", "Lmax", "num_kmers", "n_pairs",
+        "shift", "n_probe", "off_bits", "p_shift", "p_probe", "p_off_bits",
+        "interpret",
+    ),
+)
+def _place_batch_dense_codes_paired(
+    plane_s,
+    off,
+    low,
+    poff,
+    plow,
+    buf,
+    arows,
+    *,
+    R: int,
+    B: int,
+    K: int,
+    Amax: int,
+    k: int,
+    sigma: int,
+    Lmax: int,
+    num_kmers: int,
+    n_pairs: int,
+    shift: int,
+    n_probe: int,
+    off_bits: int,
+    p_shift: int,
+    p_probe: int,
+    p_off_bits: int,
+    log_eps,
+    eps,
+    interpret: bool = False,
+):
+    """Generic-alphabet (amino) pair-plane step: ONE plane-row gather per
+    TWO windows, pair rows resolved by a second radix index over the
+    (k+1)-mer pair keys.
+
+    Round 4: previously skipped because the pair lookup's probe passes
+    would cancel the halved row gathers; the packed 3-pass radix
+    (radix_lookup_packed) changed the arithmetic -- the pair lookup costs
+    ~1.5 pass-equivalents (3 passes over half the windows) against ~11 ms
+    of saved gather at the production amino geometry.  Same (k+1)-mer
+    identity as the DNA pair plane: the pair table enumerates every
+    suffix extension of every key, so a pair miss implies at most one of
+    the two windows hits."""
+    from ..ops.radix_lookup import radix_lookup, radix_lookup_packed
+
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    def lk(o, l, aa, bb, sh, npb, ob, nk):
+        if ob > 0:
+            return radix_lookup_packed(o, l, aa, bb, shift=sh, off_bits=ob,
+                                       n_keys=nk)
+        return radix_lookup(o, l, aa, bb, shift=sh, n_probe=npb, n_keys=nk)
+
+    a, b, ok, lens = device_tokenize_codes(buf, k=k, sigma=sigma, Lmax=Lmax)
+    rows10 = lk(off, low, a, b, shift, n_probe, off_bits, num_kmers)
+    rows10 = jnp.where(ok, rows10, i32(num_kmers))
+    m_signed = lens - i32(k - 1)
+    m_f32 = jnp.where(
+        m_signed >= 0, m_signed.astype(f32), f32(float(_U64)) + m_signed.astype(f32)
+    )
+    R_, W = rows10.shape
+    Wp = (W + 1) // 2
+    rows10p = jnp.pad(rows10, ((0, 0), (0, 2 * Wp - W)),
+                      constant_values=num_kmers)
+    r1 = rows10p[:, 0::2]
+    r2 = rows10p[:, 1::2]
+    single = jnp.where(r1 != i32(num_kmers), r1, r2)
+    if W >= 2:
+        a11, b11, ok11, _ = device_tokenize_codes(buf, k=k + 1, sigma=sigma,
+                                                  Lmax=Lmax)
+        # even slots only: slot j pairs windows 2j, 2j+1
+        pad11 = 2 * Wp - 1 - a11.shape[1]
+        a11e = jnp.pad(a11, ((0, 0), (0, pad11)))[:, 0::2]
+        b11e = jnp.pad(b11, ((0, 0), (0, pad11)))[:, 0::2]
+        ok11e = jnp.pad(ok11, ((0, 0), (0, pad11)),
+                        constant_values=False)[:, 0::2]
+        pidx = lk(poff, plow, a11e, b11e, p_shift, p_probe, p_off_bits,
+                  n_pairs)
+        prow = jnp.where(ok11e & (pidx < n_pairs),
+                         i32(num_kmers + 1) + pidx, i32(-1))
+        rows = jnp.where(prow >= 0, prow, single)
+    else:
+        rows = single
+    Wpad = -(-Wp // 16) * 16
+    rows = jnp.pad(rows, ((0, 0), (0, Wpad - Wp)), constant_values=num_kmers)
+    Sp = dense_sums_shifted(plane_s, rows, R=R, B=B, Wmax=Wpad)
+    if Amax > 0:
+        Sp, _ = _apply_amb(Sp, None, plane_s, arows, R=R, B=B, Amax=Amax,
+                           k=k, eps=eps, log_eps=log_eps, shifted=True)
+    outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+    return _pack_outputs_slim(outs)
+
+
 def _pack_outputs(outs, e_total, a_total):
     """Pack all step outputs into ONE (R+1, 4K+2) f32 array.
 
@@ -1831,6 +1956,54 @@ class JaxPlacer(HostStaging):
                     final = _plane_fill(final, jnp.int32(n_keys + 1 + s), vals)
                 self._plane_s = final
                 self._paired = True
+        # generic-alphabet (amino) pair plane: same identity, pair rows
+        # resolved by a SECOND radix index over the sorted (k+1)-mer pair
+        # keys (no direct table at sigma=20).  Viable since the packed
+        # 3-pass radix lookup (round 4): the pair lookup costs ~1.5
+        # pass-equivalents against ~11 ms of saved row gather.
+        self._paired_codes = False
+        self._pair_radix = None
+        self._dev_pair_radix = None
+        self._n_pairs = 0
+        if (
+            self._fast_codes
+            and not self._plane_q
+            and self.config.pair_plane in ("auto", "on")
+            and n_keys > 0
+            and self.alphabet.sigma ** (self.k + 1) < (1 << 48)
+        ):
+            from ..ops.radix_lookup import build_radix
+
+            pu, pv, key11 = enumerate_pairs_generic(
+                db.keys, self.k, self.alphabet.sigma
+            )
+            n_pairs = int(pu.shape[0])
+            paired_bytes = (n_keys + 1 + n_pairs) * self._plane_w * 4
+            if n_pairs > 0 and paired_bytes <= self.config.pair_plane_budget:
+                kb11 = int(
+                    self.alphabet.sigma ** (self.k + 1) - 1
+                ).bit_length()
+                try:
+                    pradix = build_radix(key11, kb11)
+                except ValueError:
+                    pradix = None
+                if pradix is not None and 0 < pradix.max_bucket <= 32:
+                    final = jnp.zeros((n_keys + 1 + n_pairs, self._plane_w),
+                                      plane_dtype)
+                    final = _plane_fill(final, jnp.int32(0), self._plane_s)
+                    self._plane_s = None
+                    CH = 1 << 16
+                    for s in range(0, n_pairs, CH):
+                        vals = (final[jnp.asarray(pu[s : s + CH])]
+                                + final[jnp.asarray(pv[s : s + CH])])
+                        final = _plane_fill(final, jnp.int32(n_keys + 1 + s),
+                                            vals)
+                    self._plane_s = final
+                    self._pair_radix = pradix
+                    self._dev_pair_radix = pradix.device_arrays()
+                    self._n_pairs = n_pairs
+                    self._paired_codes = True
+
         # pair-fused posting tiles (big-tree): one 2*PT row gather per TWO
         # windows, same (k+1)-mer identity as the dense pair plane; the
         # packed payload's integer sums make accumulation order-free.
@@ -2316,6 +2489,25 @@ class JaxPlacer(HostStaging):
         buf = np.concatenate([codes, np.zeros((R, 2), np.uint8)], axis=1)
         buf[:R_true, Lmax] = lens_arr & 0xFF
         buf[:R_true, Lmax + 1] = lens_arr >> 8
+        off, low = self._dev_radix
+        if self._paired_codes:
+            pr = self._pair_radix
+            fn = functools.partial(
+                _place_batch_dense_codes_paired,
+                R=R, B=self.B, K=K, Amax=Amax, k=self.k,
+                sigma=self.alphabet.sigma, Lmax=Lmax,
+                num_kmers=self.db.num_kmers, n_pairs=self._n_pairs,
+                shift=self._radix.shift, n_probe=self._radix.max_bucket,
+                off_bits=self._radix.off_bits if self._radix.packed else 0,
+                p_shift=pr.shift, p_probe=pr.max_bucket,
+                p_off_bits=pr.off_bits if pr.packed else 0,
+                log_eps=float(self.log_eps), eps=float(self.eps),
+                interpret=self._interpret,
+            )
+            poff, plow = self._dev_pair_radix
+            arrays = (self._plane_s, off, low, poff, plow,
+                      jnp.asarray(buf), jnp.asarray(arows))
+            return fn, arrays, m_signed, R_true, K
         fn = functools.partial(
             _place_batch_dense_codes,
             R=R, B=self.B, K=K, Amax=Amax, k=self.k,
@@ -2326,7 +2518,6 @@ class JaxPlacer(HostStaging):
             log_eps=float(self.log_eps), eps=float(self.eps),
             plane_scale=float(self._plane_scale), interpret=self._interpret,
         )
-        off, low = self._dev_radix
         arrays = (self._plane_s, off, low, jnp.asarray(buf), jnp.asarray(arows))
         return fn, arrays, m_signed, R_true, K
 
