@@ -1958,9 +1958,13 @@ class JaxPlacer(HostStaging):
                 self._paired = True
         # generic-alphabet (amino) pair plane: same identity, pair rows
         # resolved by a SECOND radix index over the sorted (k+1)-mer pair
-        # keys (no direct table at sigma=20).  Viable since the packed
-        # 3-pass radix lookup (round 4): the pair lookup costs ~1.5
-        # pass-equivalents against ~11 ms of saved row gather.
+        # keys (no direct table at sigma=20).  MEASURED round 4 and left
+        # OFF by default: fused step 41.2 vs 35.6 ms unpaired at the
+        # config-2 geometry -- the second (k+1)-limb tokenize pass plus
+        # the pair radix passes cost more than the halved row gathers
+        # (the DNA pair plane wins because its combo table resolves slots
+        # in ONE gather; amino has no direct table).  Opt in with
+        # pair_plane="on".
         self._paired_codes = False
         self._pair_radix = None
         self._dev_pair_radix = None
@@ -1968,7 +1972,7 @@ class JaxPlacer(HostStaging):
         if (
             self._fast_codes
             and not self._plane_q
-            and self.config.pair_plane in ("auto", "on")
+            and self.config.pair_plane == "on"
             and n_keys > 0
             and self.alphabet.sigma ** (self.k + 1) < (1 << 48)
         ):
