@@ -59,9 +59,11 @@ class BatchWatchdog:
     test_kill_restart_resume).
     """
 
-    def __init__(self, timeout_s: float, rank: int | None = None):
+    def __init__(self, timeout_s: float, rank: int | None = None,
+                 _exit=os._exit):
         self.timeout_s = float(timeout_s)
         self.rank = rank
+        self._exit = _exit  # injectable for unit tests
         self._deadline: float | None = None
         self._tag = ""
         self._lock = threading.Lock()
@@ -96,7 +98,8 @@ class BatchWatchdog:
                     file=sys.stderr,
                     flush=True,
                 )
-                os._exit(STALL_EXIT_CODE)
+                self._exit(STALL_EXIT_CODE)
+                return
 
 
 def make_mesh(

@@ -154,3 +154,27 @@ def test_kill_restart_resume(tmp_path):
         doc = json.load(f)
     names = {nm for pl in doc["placements"] for nm, _ in pl["nm"]}
     assert len(names) == 80 and "b4_q15" in names and "b0_q0" in names
+
+
+def test_watchdog_unit():
+    """BatchWatchdog fires only when armed past the deadline, and
+    disarm/stop suppress it (in-process, injectable exit)."""
+    import time
+
+    from epik_tpu.parallel.mesh import STALL_EXIT_CODE, BatchWatchdog
+
+    fired = []
+    dog = BatchWatchdog(0.3, rank=7, _exit=fired.append)
+    # disarmed: nothing fires
+    time.sleep(0.5)
+    assert fired == []
+    # armed and completed in time: nothing fires
+    dog.arm("fast step")
+    dog.disarm()
+    time.sleep(0.5)
+    assert fired == []
+    # armed past the deadline: fires exactly the stall exit code
+    dog.arm("stuck step")
+    time.sleep(0.8)
+    assert fired == [STALL_EXIT_CODE]
+    dog.stop()
