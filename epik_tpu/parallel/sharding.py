@@ -55,6 +55,7 @@ from ..engine.placer import (
     _bucket,
     _Pending,
     _pack_outputs,
+    _pack_outputs_slim,
     accumulate_amb_firsthit,
     accumulate_exact,
     assemble_arrays,
@@ -68,6 +69,7 @@ from ..engine.placer import (
     finish_scores,
     pack_reads,
     unpack_outputs,
+    unpack_outputs_slim,
 )
 from ..engine.types import PlacedCollection
 from ..io.db import PhyloKmerDB
@@ -347,7 +349,9 @@ def _lwr_topk_cols(corrected, touched, m_f32, C, *, B, K, k, log_eps):
     topk_counts = jnp.take_along_axis(cand_c, sel, axis=1)
     wr = jnp.exp((topk_scores - log_sum[:, None]) * ln10)
     wr = jnp.where(zero_sum[:, None] | (topk_scores < f32(_POW10_ZERO)), 0.0, wr)
-    return topk_scores, topk_idx, topk_counts, wr, n, zero_sum
+    # log_sum appended for the slim result pack (engine/placer.py::
+    # _pack_outputs_slim layout; the classic full pack slices outs[:6])
+    return topk_scores, topk_idx, topk_counts, wr, n, zero_sum, log_sum
 
 
 # ---------------------------------------------------------------------------
@@ -402,12 +406,12 @@ def _sharded_dense_bytes_step(
                                    shifted=True)
             outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
                                               log_eps=log_eps)
-        else:
-            S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wp)
-            if Amax > 0:
-                S, C = _apply_amb(S, C, plane, arows, R=R, B=bwl, Amax=Amax,
-                                  k=k, eps=eps, log_eps=log_eps, shifted=False)
-            outs = finish_scores_cols(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+            return _pack_outputs_slim(outs)[None]
+        S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wp)
+        if Amax > 0:
+            S, C = _apply_amb(S, C, plane, arows, R=R, B=bwl, Amax=Amax,
+                              k=k, eps=eps, log_eps=log_eps, shifted=False)
+        outs = finish_scores_cols(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
         zero = jnp.int32(0)
         return _pack_outputs(outs, zero, zero)[None]
 
@@ -461,8 +465,7 @@ def _sharded_dense_paired_step(
                                shifted=True)
         outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
                                           log_eps=log_eps)
-        zero = jnp.int32(0)
-        return _pack_outputs(outs, zero, zero)[None]
+        return _pack_outputs_slim(outs)[None]
 
     return jax.shard_map(
         block,
@@ -538,8 +541,7 @@ def _sharded_tiles_bytes_step(
             Sp = segment_accumulate_sums(b, s, bwl, ch=ch, interpret=interpret)
         outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
                                           log_eps=log_eps)
-        zero = jnp.int32(0)
-        return _pack_outputs(outs, zero, zero)[None]
+        return _pack_outputs_slim(outs)[None]
 
     return jax.shard_map(
         block,
@@ -573,12 +575,12 @@ def _sharded_dense_rows_step(
                                    shifted=True)
             outs = finish_scores_cols_shifted(Sp, m, B=B, K=K, k=k,
                                               log_eps=log_eps)
-        else:
-            S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wmax)
-            if Amax > 0:
-                S, C = _apply_amb(S, C, plane, arows, R=R, B=bwl, Amax=Amax,
-                                  k=k, eps=eps, log_eps=log_eps, shifted=False)
-            outs = finish_scores_cols(S, C, m, B=B, K=K, k=k, log_eps=log_eps)
+            return _pack_outputs_slim(outs)[None]
+        S, C = dense_sums_from_rows(plane, rows, R=R, B=bwl, Wmax=Wmax)
+        if Amax > 0:
+            S, C = _apply_amb(S, C, plane, arows, R=R, B=bwl, Amax=Amax,
+                              k=k, eps=eps, log_eps=log_eps, shifted=False)
+        outs = finish_scores_cols(S, C, m, B=B, K=K, k=k, log_eps=log_eps)
         zero = jnp.int32(0)
         return _pack_outputs(outs, zero, zero)[None]
 
@@ -909,16 +911,12 @@ class ShardedJaxPlacer(HostStaging):
 
         if self._fast_bytes and self.k <= Lmax_true <= 0xFFFF:
             Lmax = -(-Lmax_true // 8) * 8
-            flat = np.frombuffer(b"".join(seqs), np.uint8)
-            starts = np.concatenate([[0], np.cumsum(lens_arr)])
-            mat = np.zeros((R_tot, Lmax), np.uint8)
-            mat[np.repeat(np.arange(R_true), lens_arr),
-                np.arange(flat.size) - np.repeat(starts[:-1], lens_arr)] = flat
-            lens_pad = np.zeros(R_tot, np.int64)
-            lens_pad[:R_true] = lens_arr
-
-            codes = self.alphabet.char_code[mat]
-            amb_mask = ((codes >= 0x80) & (codes != 0xFF)).any(axis=1)
+            # one native staging pass (pack + char-code map + ambiguity
+            # scan, ~2 ms vs ~30 ms numpy on the 2-core host; the same
+            # round-4 lever that put the single-chip loop at the device
+            # bound -- HostStaging._pack_reads_fast)
+            buf, amb_mask = self._pack_reads_fast(seqs, lens_arr, Lmax,
+                                                  R_tot)
             if amb_mask.any():
                 idxs = np.flatnonzero(amb_mask)
                 tok = self._tokenize([seqs[i] for i in idxs])
@@ -930,8 +928,6 @@ class ShardedJaxPlacer(HostStaging):
             else:
                 Amax = 0
                 arows = np.zeros((R_tot, 0), np.int32)
-
-            buf = pack_reads(codes, lens_pad)
             if self._paired:
                 out = _sharded_dense_paired_step(
                     self._plane_cols, self._dev_combo,
@@ -1054,9 +1050,13 @@ class ShardedJaxPlacer(HostStaging):
         R_loc = self._padded_batch_geometry(R_true)
 
         if pending.budgets is None:  # dense mode: no overflow retries
-            # (n_data, R_loc+1, 4K+2): one transfer
+            # one transfer: (n_data, R_loc, 2K+3) slim (shifted paths) or
+            # (n_data, R_loc+1, 4K+2) full incl. a totals row (classic)
             arr = self._fetch(pending.out)
-            flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
+            if arr.shape[2] == 2 * K + 3:
+                flat = arr.reshape(self.n_data * R_loc, -1)[:R_true]
+            else:
+                flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
             return self._assemble_flat(pending, flat, K)
 
         Pb, PAb = pending.budgets
@@ -1088,14 +1088,20 @@ class ShardedJaxPlacer(HostStaging):
         return self._assemble_flat(pending, flat, K)
 
     def _assemble_flat(self, pending, body: np.ndarray, K: int):
-        """Array-backed jplace rows from the flattened (R_true, 4K+2) body
-        (shared vectorized assembly: engine/placer.py::assemble_arrays)."""
-        scores_k = body[:, 0:K]
-        wr_k = body[:, K : 2 * K].astype(np.float64)
-        idx_k = body[:, 2 * K : 3 * K].astype(np.int32)
-        counts_k = body[:, 3 * K : 4 * K].astype(np.int64)
-        n_touched = body[:, 4 * K].astype(np.int32)
-        zero_sum = body[:, 4 * K + 1] != 0
+        """Array-backed jplace rows from the flattened body: the slim
+        (R_true, 2K+3) pack of the shifted paths or the full (R_true,
+        4K+2) pack (shared vectorized assembly: engine/placer.py)."""
+        if body.shape[1] == 2 * K + 3:
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum,
+             _, _) = unpack_outputs_slim(body, K)
+            counts_k = counts_k.astype(np.int64)
+        else:
+            scores_k = body[:, 0:K]
+            wr_k = body[:, K : 2 * K].astype(np.float64)
+            idx_k = body[:, 2 * K : 3 * K].astype(np.int32)
+            counts_k = body[:, 3 * K : 4 * K].astype(np.int64)
+            n_touched = body[:, 4 * K].astype(np.int32)
+            zero_sum = body[:, 4 * K + 1] != 0
         return assemble_arrays(
             pending.seqs, pending.sequence_map, pending.m_signed,
             scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, K,
