@@ -2038,7 +2038,10 @@ class JaxPlacer(HostStaging):
 
     @property
     def _dev_tiles(self):
-        """Posting-tile plane (n_keys+1, 2*PT) u32, built on first use.
+        """Posting-tile plane, built on first use: packed int32
+        (n_keys+1, PT) cells ``(branch << 16) | q`` (the default,
+        PlacerConfig.tile_payload) or u32 (n_keys+1, 2*PT)
+        [branch | score-bits] pairs (tile_payload="f32").
 
         Interleaved [branch | shifted-score-bits] pairs per key, trash-
         padded; row n_keys is all-trash (the miss row).  ~2*PT*4 bytes per
