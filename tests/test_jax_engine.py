@@ -1008,3 +1008,71 @@ class TestClassicPlane:
         assert_equivalent(out_ref, out_jax)
         counts = [q.count for ps in out_jax.placed_seqs for q in ps.placements]
         assert counts and all(c >= 0 for c in counts)
+
+
+class TestComboTable:
+    """device_tokenize_combo (one gather per slot) must reproduce
+    device_tokenize_paired (three table passes) slot-for-slot, including
+    mixed-validity slots: odd window counts, read tails, interior Ns."""
+
+    def test_equivalence_random(self):
+        import jax.numpy as jnp
+
+        from epik_tpu.engine.placer import (
+            build_combo_table,
+            device_tokenize_combo,
+            device_tokenize_paired,
+            pack_reads,
+        )
+        from epik_tpu.core.alphabet import DNA
+        from epik_tpu.io.build import reference_like_db
+
+        db, ref = reference_like_db(num_leaves=32, kmer_size=5,
+                                    ref_length=4_000, mean_posting_len=4.0,
+                                    seed=13)
+        k = 5
+        n = db.num_kmers
+        direct = np.full(4**k, n, np.int32)
+        direct[db.keys.astype(np.int64)] = np.arange(n, dtype=np.int32)
+        # pair tables from the same enumeration the placer uses
+        from epik_tpu.engine.placer import enumerate_pairs
+
+        pu, pv, key11 = enumerate_pairs(db.keys, k, direct, n)
+        direct11 = np.full(4 ** (k + 1), -1, np.int32)
+        direct11[key11] = n + 1 + np.arange(pu.shape[0], dtype=np.int32)
+        combo = build_combo_table(direct, direct11, k, n)
+
+        rng = np.random.default_rng(4)
+        letters = np.frombuffer(b"ACGTN", np.uint8)
+        seqs = []
+        ref_arr = np.frombuffer(ref, np.uint8)
+        for i in range(40):
+            L = int(rng.integers(1, 40))  # odd/even W, len < k tails
+            start = int(rng.integers(0, len(ref_arr) - 40))
+            s = bytearray(ref_arr[start : start + L])
+            if i % 3 == 0 and L > 4:  # interior invalid char
+                s[int(rng.integers(1, L - 1))] = ord("N")
+            if i % 5 == 0:
+                s = bytearray(letters[rng.integers(0, 5, L)].tobytes())
+            seqs.append(bytes(s))
+        lens = np.array([len(s) for s in seqs], np.int64)
+        Lmax = int(-(-lens.max() // 8) * 8)
+        R = len(seqs)
+        flat = np.frombuffer(b"".join(seqs), np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        mat = np.zeros((R, Lmax), np.uint8)
+        mat[np.repeat(np.arange(R), lens),
+            np.arange(flat.size) - np.repeat(starts[:-1], lens)] = flat
+        codes = DNA.char_code[mat]
+        buf = pack_reads(codes, lens)
+
+        rows_ref, lens_ref = device_tokenize_paired(
+            jnp.asarray(buf), jnp.asarray(direct), jnp.asarray(direct11),
+            k=k, Lmax=Lmax, num_kmers=n)
+        rows_new, lens_new = device_tokenize_combo(
+            jnp.asarray(buf), jnp.asarray(combo), k=k, Lmax=Lmax,
+            num_kmers=n)
+        np.testing.assert_array_equal(np.asarray(lens_new),
+                                      np.asarray(lens_ref))
+        np.testing.assert_array_equal(np.asarray(rows_new),
+                                      np.asarray(rows_ref))
