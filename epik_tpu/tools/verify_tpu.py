@@ -105,6 +105,9 @@ def main(argv=None) -> int:
                                 config=PlacerConfig(dense_db="off",
                                                     accumulate="matmul"))),
         ("sharded_1x1", ShardedJaxPlacer(db, tree, mesh11)),
+        ("sharded_tiles_1x1", ShardedJaxPlacer(
+            db, tree, mesh11,
+            config=PlacerConfig(dense_db="off", accumulate="matmul"))),
     ]
     paths = {}
     for name, engine in engines:
@@ -137,6 +140,8 @@ def main(argv=None) -> int:
     amb_engines = [
         ("oracle", ReferencePlacer(amb_db, amb_tree)),
         ("jax_amino", JaxPlacer(amb_db, amb_tree)),
+        ("jax_amino_pair", JaxPlacer(amb_db, amb_tree,
+                                     config=PlacerConfig(pair_plane="on"))),
     ]
     amb_paths = {}
     for name, engine in amb_engines:
@@ -147,12 +152,14 @@ def main(argv=None) -> int:
         w << out
         w.end()
         amb_paths[name] = path
-    res = jplace_diff(amb_paths["oracle"], amb_paths["jax_amino"])
-    print(f"amino jax: {res.num_matches}/{res.num_seqs} match", file=sys.stderr)
-    mixed["jax_amino"] = {"matched": res.num_matches, "total": res.num_seqs}
-    total_matched += res.num_matches
-    total_reads += res.num_seqs
-    all_clean &= res.clean
+    for name in list(amb_paths)[1:]:
+        res = jplace_diff(amb_paths["oracle"], amb_paths[name])
+        print(f"amino {name}: {res.num_matches}/{res.num_seqs} match",
+              file=sys.stderr)
+        mixed[name] = {"matched": res.num_matches, "total": res.num_seqs}
+        total_matched += res.num_matches
+        total_reads += res.num_seqs
+        all_clean &= res.clean
 
     ok = cases_passed == len(cases) and all_clean
     print(json.dumps({
