@@ -65,7 +65,10 @@ def main() -> None:
     # synchronous reads/batch, main.cpp:214 -- the CLI keeps that default;
     # this is the tuned configuration, like running the reference with
     # --batch-size tuned.)
-    BATCH = int(os.environ.get("EPIK_BENCH_BATCH", "8192"))
+    # 16384 measured ~4% faster and 2x tighter pass spread than 8192 with
+    # the round-4 combo engine (250.4k vs 239-242k median, passes within
+    # 2%): bigger batches amortize the fixed per-dispatch tunnel costs
+    BATCH = int(os.environ.get("EPIK_BENCH_BATCH", "16384"))
     INFLIGHT = int(os.environ.get("EPIK_BENCH_INFLIGHT", "6"))
     NUM_READS = 10 * BATCH  # distinct reads; passes loop them (below)
     # each timed pass places LOOPS x NUM_READS reads (~4-5 s at the expected
