@@ -1,15 +1,17 @@
 """Stage timings for the big-tree posting-tile step (BASELINE.md config 4).
 
-METHODOLOGY WARNING (round 4): the standalone per-stage numbers printed
-here are dominated by fetching each stage's materialized output over the
-~40 MB/s tunnel and are NOT a valid attribution -- only the FULL fused
-step row is meaningful.  Use tools/profile_tiles_fused.py (fused variants
-reducing to tiny outputs) and tools/bench_tile_kernels.py (chained
-distinct dispatches + scalar-fetch sync) for real attribution; see
-docs/ROOFLINE.md "round 4 measurement-methodology corrections".  Kept for
-the full-step timing and as the record of the corrected mistake.
+Valid methodology (round-4 rework; see docs/ROOFLINE.md "measurement-
+methodology corrections"): `block_until_ready` does not block under the
+axon tunnel and per-stage output fetches ride a ~40 MB/s link, so each
+stage is timed as a FUSED program reducing to a scalar, with N DISTINCT
+inputs dispatched back-to-back and one tiny fetch as the barrier
+(in-order device execution), subtracting the measured scalar-fetch RTT.
 
-Run: python -m epik_tpu.tools.profile_tiles_stages [--leaves 10000] [--batch 4096]
+Stages: tokenize / +tile row gather / kernel-only (device-resident
+input) / FULL fused step.  Deeper kernel-variant sweeps live in
+tools/bench_tile_kernels.py.
+
+Run: python -m epik_tpu.tools.profile_tiles_stages [--leaves 10000] [--batch 8192]
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--leaves", type=int, default=10000)
     ap.add_argument("--ref-len", type=int, default=1_000_000)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=8192)
     args = ap.parse_args(argv)
 
     import jax
@@ -40,13 +42,9 @@ def main(argv=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from ..core.tree import parse_newick
-    from ..engine.placer import (
-        JaxPlacer,
-        device_tokenize_packed,
-        finish_scores_shifted,
-    )
+    from ..engine.placer import JaxPlacer, device_tokenize_packed
     from ..io.build import reads_from_reference, reference_like_db
-    from ..ops.pallas.accumulate import segment_accumulate_sums, trash_branch
+    from ..ops.pallas.accumulate import segment_accumulate_packed_topk
 
     log(f"backend: {jax.default_backend()}")
     t0 = time.time()
@@ -56,72 +54,73 @@ def main(argv=None) -> None:
     )
     tree = parse_newick(db.tree())
     R = args.batch
-    reads = reads_from_reference(ref, R, length=150, mutation_rate=0.02,
-                                 seed=11)
-    seqs = [s for _, s in reads]
     p = JaxPlacer(db, tree)
-    assert p._tiles_mode, "expected posting-tile mode at this shape"
-    staged = p._stage_bytes(seqs)
-    fn, arrays, _, _, _ = staged
-    tiles, direct, buf = arrays
+    assert p._tiles_mode and p._tile_packed
+    bufs = []
+    for s in range(11, 17):
+        reads = reads_from_reference(ref, R, length=150, mutation_rate=0.02,
+                                     seed=s)
+        st = p._stage_bytes([q for _, q in reads])
+        bufs.append(st[1])  # (tiles, direct, buf)
+    tiles, direct, buf0 = bufs[0]
+    fn = bufs and p._stage_bytes(
+        [q for _, q in reads_from_reference(ref, R, length=150,
+                                            mutation_rate=0.02, seed=11)]
+    )[0]
     N, B, k = db.num_kmers, p.B, p.k
     PT = p._tile_pt
     Lmax = 152
-    log(f"fixture ready ({time.time()-t0:.0f}s): {N} kmers, B={B}, PT={PT}, "
-        f"tiles {tiles.nbytes/2**20:.0f} MiB")
-
-    reps = 8
-
-    def timeit(name, f, *xs):
-        out = f(*xs)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-        t = time.time()
-        for _ in range(reps):
-            out = f(*xs)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-        dt = (time.time() - t) / reps
-        log(f"{name:36s} {dt*1000:8.1f} ms")
-        return out, dt
-
-    tok = jax.jit(functools.partial(device_tokenize_packed, k=k, Lmax=Lmax,
-                                    num_kmers=N))
-    (rows, lens), _ = timeit("tokenize", tok, buf, direct)
-    W = rows.shape[1]
-
-    @jax.jit
-    def gather_only(tiles, rows):
-        return tiles[rows]
-
-    g, _ = timeit(f"tile row gather (W={W}, {2*PT*4}B/row)", gather_only,
-                  tiles, rows)
-
-    i32, f32 = jnp.int32, jnp.float32
+    W = Lmax - k + 1
     pp = W * PT
-    ch = 512
-    pp_pad = -(-pp // ch) * ch
-    trash = trash_branch(B)
+    log(f"fixture ready ({time.time()-t0:.0f}s): {N} kmers, B={B}, PT={PT}")
+
+    np.asarray(jnp.sum(buf0[:1, :1]))
+    t = time.time()
+    for _ in range(5):
+        np.asarray(jnp.sum(buf0[:1, :1]))
+    RTT = (time.time() - t) / 5
+    log(f"scalar-fetch RTT: {RTT*1000:.1f} ms")
+
+    def timeit(name, f, args_list):
+        np.asarray(jnp.sum(jax.tree_util.tree_leaves(f(*args_list[0]))[0]))
+        t = time.time()
+        outs = [f(*a) for a in args_list]
+        np.asarray(jnp.sum(jax.tree_util.tree_leaves(outs[-1])[0]))
+        dt = (time.time() - t - RTT) / len(args_list)
+        log(f"{name:42s} {dt*1000:8.1f} ms")
+        return dt
 
     @jax.jit
-    def unpack_pad(g):
-        gg = g.reshape(R, pp, 2)
-        b = gg[..., 0].astype(i32)
-        s = jax.lax.bitcast_convert_type(gg[..., 1], f32)
-        b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
-        s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
-        return b, s
+    def tok_only(buf, direct):
+        rows, lens = device_tokenize_packed(buf, direct, k=k, Lmax=Lmax,
+                                            num_kmers=N)
+        return rows.sum() + lens.sum()
 
-    (b_pad, s_pad), _ = timeit("unpack + pad", unpack_pad, g)
+    timeit("tokenize", tok_only, [(b[2], direct) for b in bufs])
 
-    acc = jax.jit(functools.partial(segment_accumulate_sums, num_branches=B,
-                                    tr=8, ch=ch))
-    Sp, _ = timeit(f"MXU accumulate (PP={pp_pad}, B={B})", acc, b_pad, s_pad)
+    @jax.jit
+    def tok_gather(buf, direct, tiles):
+        rows, lens = device_tokenize_packed(buf, direct, k=k, Lmax=Lmax,
+                                            num_kmers=N)
+        g = tiles[rows]
+        return g.sum() + lens.sum()
 
-    m = jnp.full((R,), 141.0, f32)
-    fin = jax.jit(functools.partial(finish_scores_shifted, B=B, K=7, k=k,
-                                    log_eps=float(p.log_eps)))
-    timeit("finish (corr+LWR+topk)", fin, Sp, m)
+    timeit("tokenize + tile row gather", tok_gather,
+           [(b[2], direct, tiles) for b in bufs])
 
-    timeit("FULL tiles step", fn, *arrays)
+    rng = np.random.default_rng(0)
+    pp_pad = -(-pp // 512) * 512
+    gs = [jnp.asarray((rng.integers(0, B, (R, pp_pad)).astype(np.int32) << 16)
+                      | rng.integers(1, 64000, (R, pp_pad)).astype(np.int32))
+          for _ in range(6)]
+    m = jnp.full((R,), float(W), jnp.float32)
+    kern = jax.jit(functools.partial(
+        segment_accumulate_packed_topk, num_branches=B, K=7, k=k,
+        log_eps=float(p.log_eps), scale=float(p._tile_scale)))
+    timeit("fused accumulate+finish kernel (resident)", kern,
+           [(g, m) for g in gs])
+
+    timeit("FULL tiles step", fn, [tuple(b) for b in bufs])
 
 
 if __name__ == "__main__":
