@@ -1076,3 +1076,21 @@ class TestComboTable:
                                       np.asarray(lens_ref))
         np.testing.assert_array_equal(np.asarray(rows_new),
                                       np.asarray(rows_ref))
+
+
+def test_enumerate_pairs_generic_matches_dna():
+    """enumerate_pairs_generic (searchsorted, any sigma) and
+    enumerate_pairs (direct table, DNA) must produce the same pair SET on
+    a DNA database (order differs: generic sorts by pair key)."""
+    from epik_tpu.engine.placer import enumerate_pairs, enumerate_pairs_generic
+    from epik_tpu.io.build import random_db
+
+    db = random_db(num_leaves=16, kmer_size=6, num_kmers=800, seed=17)
+    n = db.num_kmers
+    direct = np.full(4**6, n, np.int32)
+    direct[db.keys.astype(np.int64)] = np.arange(n, dtype=np.int32)
+    pu_a, pv_a, k11_a = enumerate_pairs(db.keys, 6, direct, n)
+    pu_b, pv_b, k11_b = enumerate_pairs_generic(db.keys, 6, 4)
+    a = sorted(zip(k11_a.tolist(), pu_a.tolist(), pv_a.tolist()))
+    b = sorted(zip(k11_b.tolist(), pu_b.tolist(), pv_b.tolist()))
+    assert len(a) > 0 and a == b
