@@ -75,7 +75,15 @@ def main() -> None:
     # rate): sub-second passes made r03's spread 2x on this noisy shared
     # host, and the ramp-up of the first INFLIGHT batches amortizes away
     LOOPS = int(os.environ.get("EPIK_BENCH_LOOPS", "8"))
-    PASSES = 5
+    # 9 interleaved passes (round-5: 5 passes let one contention event on
+    # this shared host move the median; 9 costs ~30 s more and pins it --
+    # the JSON reports median + IQR)
+    PASSES = int(os.environ.get("EPIK_BENCH_PASSES", "9"))
+    # baseline thread count for the second baseline row (the reference's
+    # -j/--threads, place.cpp:218-229); the single-thread row (-j 1, the
+    # reference default, main.cpp:213) is always measured
+    BASE_THREADS = int(os.environ.get("EPIK_BENCH_BASELINE_THREADS",
+                                      str(os.cpu_count() or 2)))
 
     log("building synthetic database ...")
     db, ref = reference_like_db(
@@ -143,15 +151,23 @@ def main() -> None:
         from epik_tpu.native import NativeScalarPlacer
 
         nat = NativeScalarPlacer(db)
+        nat_mt = (NativeScalarPlacer(db, threads=BASE_THREADS)
+                  if BASE_THREADS > 1 else None)
 
         def base_pass():
             t_b = time.time()
             nat.place_scores(base_seqs)
             return len(base_seqs) / (time.time() - t_b)
+
+        def base_pass_mt():
+            t_b = time.time()
+            nat_mt.place_scores(base_seqs)
+            return len(base_seqs) / (time.time() - t_b)
     except Exception as e:  # pragma: no cover
         log(f"native baseline unavailable ({e}); python oracle fallback")
         oracle = ReferencePlacer(db, tree)
         oseqs = reads[:400]
+        nat_mt = None
 
         def base_pass():
             t_b = time.time()
@@ -159,14 +175,20 @@ def main() -> None:
             return len(oseqs) / (time.time() - t_b)
 
     base_pass()  # warm the baseline's caches too
+    if nat_mt is not None:
+        base_pass_mt()
 
     # --- interleaved measurement ------------------------------------------------
-    tpu_rates, base_rates = [], []
+    tpu_rates, base_rates, base_mt_rates = [], [], []
     for i in range(PASSES):
         tpu_rates.append(tpu_pass())
         base_rates.append(base_pass())
+        if nat_mt is not None:
+            base_mt_rates.append(base_pass_mt())
+        mt_note = (f" | -j{BASE_THREADS} {base_mt_rates[-1]:.0f} reads/s"
+                   if base_mt_rates else "")
         log(f"pass {i + 1}: tpu {tpu_rates[-1]:.0f} reads/s/chip | "
-            f"baseline {base_rates[-1]:.0f} reads/s")
+            f"baseline {base_rates[-1]:.0f} reads/s{mt_note}")
 
     # --- sustained pass: one long continuous run (~60 s) ------------------------
     # the round-3 verdict asked for a sustained measurement that shrinks the
@@ -190,17 +212,26 @@ def main() -> None:
     sustained = placed_sus / (time.time() - t_sus)
     log(f"sustained pass: {sustained:.0f} reads/s over {time.time()-t_sus:.0f}s")
 
+    def quartiles(rates):
+        s = sorted(rates)
+        n = len(s)
+        med = s[n // 2]
+        q1 = s[n // 4]
+        q3 = s[(3 * n) // 4]
+        return med, q1, q3
+
     best = max(tpu_rates)
     base_rps = max(base_rates)
-    med = sorted(tpu_rates)[len(tpu_rates) // 2]
+    med, q1, q3 = quartiles(tpu_rates)
     base_med = sorted(base_rates)[len(base_rates) // 2]
-    log(f"tpu median {med:.0f} best {best:.0f} reads/s/chip | "
+    log(f"tpu median {med:.0f} (IQR {q1:.0f}-{q3:.0f}, "
+        f"{100*(q3-q1)/med:.1f}% of median) best {best:.0f} reads/s/chip | "
         f"baseline median {base_med:.0f} best {base_rps:.0f} reads/s "
-        f"(C++ single thread)")
+        f"(C++ -j1)")
 
-    # headline = MEDIAN (the honest number on a noisy shared host); the
-    # best-of pass is reported alongside as the ceiling
-    print(json.dumps({
+    out = {
+        # headline = MEDIAN of 9 interleaved passes (the honest number on a
+        # noisy shared host); best-of is the ceiling, IQR the spread
         "metric": "reads_placed_per_sec_per_chip",
         "value": round(med, 1),
         "unit": "reads/s",
@@ -208,11 +239,20 @@ def main() -> None:
         "best": round(best, 1),
         "best_vs_baseline": round(best / base_rps, 2),
         "passes": [round(r, 1) for r in tpu_rates],
+        "iqr": [round(q1, 1), round(q3, 1)],
         "sustained": round(sustained, 1),
         "warmup_s": round(warmup_s, 1),
         "plane_mode": plane_mode,
         "precision": precision,
-    }))
+    }
+    if base_mt_rates:
+        base_mt_med = sorted(base_mt_rates)[len(base_mt_rates) // 2]
+        log(f"baseline -j{BASE_THREADS} median {base_mt_med:.0f} "
+            f"best {max(base_mt_rates):.0f} reads/s")
+        out["baseline_threads"] = BASE_THREADS
+        out["baseline_mt_median"] = round(base_mt_med, 1)
+        out["vs_baseline_mt"] = round(med / base_mt_med, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

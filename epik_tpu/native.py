@@ -62,7 +62,7 @@ def _build() -> str | None:
     out = _LIB_PATHS[1]
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
              os.path.join(src_dir, "epik_host.cpp"), "-o", out],
             check=True, capture_output=True, timeout=600,
         )
@@ -130,6 +130,13 @@ def _declare(lib) -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p,
+    ]
+    lib.eh_place_scalar_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.eh_format_jplace.restype = ctypes.c_int64
     lib.eh_format_jplace.argtypes = [
@@ -277,10 +284,13 @@ class NativeScalarPlacer:
     """C++ faithful scalar scoring (top-K edges/scores/counts per read).
 
     The benchmark baseline: the reference's algorithm at native speed,
-    single thread, mirroring epik/src/epik/place.cpp:320-440.
+    mirroring epik/src/epik/place.cpp:320-440.  ``threads`` mirrors the
+    reference's ``-j/--threads`` OpenMP placement loop
+    (epik/src/epik/place.cpp:218-229); the default 1 is the reference's
+    default (main.cpp:213).
     """
 
-    def __init__(self, db, keep_at_most: int = 7):
+    def __init__(self, db, keep_at_most: int = 7, threads: int = 1):
         from .core.scoring import score_threshold
         from .core.alphabet import get_alphabet
 
@@ -290,6 +300,7 @@ class NativeScalarPlacer:
         self._lib = lib
         self.db = db
         self.K = keep_at_most
+        self.threads = max(1, int(threads))
         self.alphabet = get_alphabet(db.sequence_type)
         # keep arrays referenced: the C side stores raw pointers
         self._keys = np.ascontiguousarray(db.keys, dtype=np.uint64)
@@ -318,13 +329,22 @@ class NativeScalarPlacer:
         scores = np.empty((n, self.K), np.float32)
         counts = np.empty((n, self.K), np.int64)
         n_touched = np.empty(n, np.int32)
-        self._lib.eh_place_scalar(
-            self._h, n, _np_ptr(np.ascontiguousarray(m)),
-            _np_ptr(t.exact_keys), _np_ptr(t.exact_read), t.exact_keys.shape[0],
-            _np_ptr(t.amb_keys), _np_ptr(t.amb_read), _np_ptr(t.amb_order),
-            t.amb_keys.shape[0], self.K,
-            _np_ptr(edges), _np_ptr(scores), _np_ptr(counts), _np_ptr(n_touched),
-        )
+        if self.threads > 1:
+            self._lib.eh_place_scalar_mt(
+                self._h, n, _np_ptr(np.ascontiguousarray(m)),
+                _np_ptr(t.exact_keys), _np_ptr(t.exact_read), t.exact_keys.shape[0],
+                _np_ptr(t.amb_keys), _np_ptr(t.amb_read), _np_ptr(t.amb_order),
+                t.amb_keys.shape[0], self.K, self.threads,
+                _np_ptr(edges), _np_ptr(scores), _np_ptr(counts), _np_ptr(n_touched),
+            )
+        else:
+            self._lib.eh_place_scalar(
+                self._h, n, _np_ptr(np.ascontiguousarray(m)),
+                _np_ptr(t.exact_keys), _np_ptr(t.exact_read), t.exact_keys.shape[0],
+                _np_ptr(t.amb_keys), _np_ptr(t.amb_read), _np_ptr(t.amb_order),
+                t.amb_keys.shape[0], self.K,
+                _np_ptr(edges), _np_ptr(scores), _np_ptr(counts), _np_ptr(n_touched),
+            )
         return edges, scores, counts, n_touched
 
     def __del__(self):

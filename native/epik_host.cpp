@@ -360,27 +360,25 @@ static inline int64_t db_find(const ScalarDB* db, uint64_t key) {
     }
 }
 
-// Place a batch, writing top-K (edge, score, count) per read.
-// Inputs are the tokenizer outputs for the batch plus per-read m (size_t
-// semantics as uint64). Outputs: out_edges/out_scores/out_counts[(read,K)],
-// out_n[read] = number of touched branches (0 => caller fabricates the
-// fallback, quirk Q2).
-EH_API void eh_place_scalar(void* dbh, long n_reads, const uint64_t* m_per_read,
-                            const uint64_t* exact_keys, const int32_t* exact_read,
-                            int64_t n_exact, const uint64_t* amb_keys,
-                            const int32_t* amb_read, const int32_t* amb_order,
-                            int64_t n_amb, int K, int32_t* out_edges,
-                            float* out_scores, int64_t* out_counts,
-                            int32_t* out_n) {
-    (void)amb_order;  // stream is already in processing order per read
-    auto* db = static_cast<ScalarDB*>(dbh);
+namespace {
+
+// Scores reads [r0, r1) given the stream offsets where read r0's exact /
+// ambiguous segments begin.  Shared worker for the single-thread entry
+// point and the OpenMP one (reference: the loop body of place.cpp:218-229;
+// each thread carries its own scratch, the DB is read-only).
+void place_scalar_range(const ScalarDB* db, long r0, long r1,
+                        const uint64_t* m_per_read, const uint64_t* exact_keys,
+                        const int32_t* exact_read, int64_t n_exact,
+                        const uint64_t* amb_keys, const int32_t* amb_read,
+                        int64_t n_amb, int64_t ei, int64_t ai, int K,
+                        int32_t* out_edges, float* out_scores,
+                        int64_t* out_counts, int32_t* out_n) {
     const int64_t B = db->n_branches;
     std::vector<float> S((size_t)B, 0.f), S_amb((size_t)B, 0.f);
     std::vector<int64_t> C((size_t)B, 0), C_amb((size_t)B, 0);
     std::vector<int32_t> edges;
 
-    int64_t ei = 0, ai = 0;
-    for (long r = 0; r < n_reads; ++r) {
+    for (long r = r0; r < r1; ++r) {
         // reset touched entries only (reference: place.cpp:335-342, quirk Q11)
         for (int32_t e : edges) {
             S[e] = 0.f;
@@ -445,6 +443,72 @@ EH_API void eh_place_scalar(void* dbh, long n_reads, const uint64_t* m_per_read,
                 out_counts[r * K + j] = 0;
             }
         }
+    }
+}
+
+}  // namespace
+
+// Place a batch, writing top-K (edge, score, count) per read.
+// Inputs are the tokenizer outputs for the batch plus per-read m (size_t
+// semantics as uint64). Outputs: out_edges/out_scores/out_counts[(read,K)],
+// out_n[read] = number of touched branches (0 => caller fabricates the
+// fallback, quirk Q2).
+EH_API void eh_place_scalar(void* dbh, long n_reads, const uint64_t* m_per_read,
+                            const uint64_t* exact_keys, const int32_t* exact_read,
+                            int64_t n_exact, const uint64_t* amb_keys,
+                            const int32_t* amb_read, const int32_t* amb_order,
+                            int64_t n_amb, int K, int32_t* out_edges,
+                            float* out_scores, int64_t* out_counts,
+                            int32_t* out_n) {
+    (void)amb_order;  // stream is already in processing order per read
+    place_scalar_range(static_cast<ScalarDB*>(dbh), 0, n_reads, m_per_read,
+                       exact_keys, exact_read, n_exact, amb_keys, amb_read,
+                       n_amb, 0, 0, K, out_edges, out_scores, out_counts,
+                       out_n);
+}
+
+// OpenMP variant: reads are split into contiguous chunks, one per thread,
+// each with its own scratch vectors -- mirroring the reference's
+// `-j/--threads` placement loop (reference: epik/src/epik/place.cpp:218-229,
+// `#pragma omp parallel for schedule(dynamic)` over read chunks with
+// thread-local score maps).  Chunk boundaries in the exact/ambiguous token
+// streams come from one linear prepass (streams are sorted by read id).
+EH_API void eh_place_scalar_mt(void* dbh, long n_reads,
+                               const uint64_t* m_per_read,
+                               const uint64_t* exact_keys,
+                               const int32_t* exact_read, int64_t n_exact,
+                               const uint64_t* amb_keys,
+                               const int32_t* amb_read,
+                               const int32_t* amb_order, int64_t n_amb,
+                               int K, int n_threads, int32_t* out_edges,
+                               float* out_scores, int64_t* out_counts,
+                               int32_t* out_n) {
+    if (n_threads <= 1 || n_reads < 2) {
+        eh_place_scalar(dbh, n_reads, m_per_read, exact_keys, exact_read,
+                        n_exact, amb_keys, amb_read, amb_order, n_amb, K,
+                        out_edges, out_scores, out_counts, out_n);
+        return;
+    }
+    auto* db = static_cast<ScalarDB*>(dbh);
+    const long n_chunks = std::min<long>(n_threads, n_reads);
+    // chunk c owns reads [r_lo[c], r_lo[c+1]); stream offsets found by the
+    // monotone read-id streams (binary search per boundary)
+    std::vector<long> r_lo((size_t)n_chunks + 1);
+    std::vector<int64_t> e_lo((size_t)n_chunks + 1), a_lo((size_t)n_chunks + 1);
+    for (long c = 0; c <= n_chunks; ++c) {
+        const long r = (long)((int64_t)n_reads * c / n_chunks);
+        r_lo[c] = r;
+        e_lo[c] = std::lower_bound(exact_read, exact_read + n_exact, (int32_t)r)
+                  - exact_read;
+        a_lo[c] = std::lower_bound(amb_read, amb_read + n_amb, (int32_t)r)
+                  - amb_read;
+    }
+#pragma omp parallel for num_threads((int)n_chunks) schedule(static, 1)
+    for (long c = 0; c < n_chunks; ++c) {
+        place_scalar_range(db, r_lo[c], r_lo[c + 1], m_per_read, exact_keys,
+                           exact_read, n_exact, amb_keys, amb_read, n_amb,
+                           e_lo[c], a_lo[c], K, out_edges, out_scores,
+                           out_counts, out_n);
     }
 }
 

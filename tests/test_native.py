@@ -131,6 +131,21 @@ class TestNativeScalarPlacer:
                 rtol=2e-6, atol=1e-7,
             )
 
+    def test_multithreaded_matches_single(self):
+        # eh_place_scalar_mt (the reference's -j/--threads loop,
+        # place.cpp:218-229) must be bit-identical to the single-thread
+        # placer: same chunk-local accumulation order per read.
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=21)
+        seqs = [s for _, s in random_reads(120, length=40, seed=22,
+                                           ambig_rate=0.05)]
+        seqs += [b"AC", b""]  # short-read edge cases at chunk boundaries
+        ref = NativeScalarPlacer(db, keep_at_most=7, threads=1).place_scores(seqs)
+        for threads in (2, 3, 8, 200):
+            got = NativeScalarPlacer(db, keep_at_most=7,
+                                     threads=threads).place_scores(seqs)
+            for a, b in zip(ref, got):
+                assert np.array_equal(a, b)
+
 
 class TestNativePackReads:
     """native_pack_reads must byte-match the numpy pack_reads staging path
