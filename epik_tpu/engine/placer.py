@@ -1288,16 +1288,14 @@ def _place_batch_dense_codes(
     on a 2-core host vs ~10 ms of device element gathers).
 
     ``off_bits`` > 0 selects the PACKED 3-gather-pass lookup (off/low then
-    hold offc/low2; ops/radix_lookup.py::radix_lookup_packed)."""
-    from ..ops.radix_lookup import radix_lookup, radix_lookup_packed
+    hold offc/low2), SPLIT (-1) the 2-independent-gather split-word form
+    (off/low hold v1/v2; ops/radix_lookup.py)."""
+    from ..ops.radix_lookup import radix_lookup_dispatch
 
     a, b, ok, lens = device_tokenize_codes(buf, k=k, sigma=sigma, Lmax=Lmax)
-    if off_bits > 0:
-        rows = radix_lookup_packed(off, low, a, b, shift=shift,
-                                   off_bits=off_bits, n_keys=num_kmers)
-    else:
-        rows = radix_lookup(off, low, a, b, shift=shift, n_probe=n_probe,
-                            n_keys=num_kmers)
+    rows = radix_lookup_dispatch(off, low, a, b, shift=shift,
+                                 n_probe=n_probe, off_bits=off_bits,
+                                 n_keys=num_kmers)
     rows = jnp.where(ok, rows, jnp.int32(num_kmers))
     f32 = jnp.float32
     m_signed = lens - jnp.int32(k - 1)
@@ -1366,16 +1364,14 @@ def _place_batch_dense_codes_paired(
     identity as the DNA pair plane: the pair table enumerates every
     suffix extension of every key, so a pair miss implies at most one of
     the two windows hits."""
-    from ..ops.radix_lookup import radix_lookup, radix_lookup_packed
+    from ..ops.radix_lookup import radix_lookup_dispatch
 
     i32 = jnp.int32
     f32 = jnp.float32
 
     def lk(o, l, aa, bb, sh, npb, ob, nk):
-        if ob > 0:
-            return radix_lookup_packed(o, l, aa, bb, shift=sh, off_bits=ob,
-                                       n_keys=nk)
-        return radix_lookup(o, l, aa, bb, shift=sh, n_probe=npb, n_keys=nk)
+        return radix_lookup_dispatch(o, l, aa, bb, shift=sh, n_probe=npb,
+                                     off_bits=ob, n_keys=nk)
 
     a, b, ok, lens = device_tokenize_codes(buf, k=k, sigma=sigma, Lmax=Lmax)
     rows10 = lk(off, low, a, b, shift, n_probe, off_bits, num_kmers)
@@ -2497,17 +2493,17 @@ class JaxPlacer(HostStaging):
         buf[:R_true, Lmax] = lens_arr & 0xFF
         buf[:R_true, Lmax + 1] = lens_arr >> 8
         off, low = self._dev_radix
+        r_shift, r_probe, r_off_bits = self._radix.dispatch_args()
         if self._paired_codes:
             pr = self._pair_radix
+            p_shift, p_probe, p_off_bits = pr.dispatch_args()
             fn = functools.partial(
                 _place_batch_dense_codes_paired,
                 R=R, B=self.B, K=K, Amax=Amax, k=self.k,
                 sigma=self.alphabet.sigma, Lmax=Lmax,
                 num_kmers=self.db.num_kmers, n_pairs=self._n_pairs,
-                shift=self._radix.shift, n_probe=self._radix.max_bucket,
-                off_bits=self._radix.off_bits if self._radix.packed else 0,
-                p_shift=pr.shift, p_probe=pr.max_bucket,
-                p_off_bits=pr.off_bits if pr.packed else 0,
+                shift=r_shift, n_probe=r_probe, off_bits=r_off_bits,
+                p_shift=p_shift, p_probe=p_probe, p_off_bits=p_off_bits,
                 log_eps=float(self.log_eps), eps=float(self.eps),
                 interpret=self._interpret,
             )
@@ -2520,8 +2516,7 @@ class JaxPlacer(HostStaging):
             R=R, B=self.B, K=K, Amax=Amax, k=self.k,
             sigma=self.alphabet.sigma, Lmax=Lmax,
             num_kmers=self.db.num_kmers,
-            shift=self._radix.shift, n_probe=self._radix.max_bucket,
-            off_bits=self._radix.off_bits if self._radix.packed else 0,
+            shift=r_shift, n_probe=r_probe, off_bits=r_off_bits,
             log_eps=float(self.log_eps), eps=float(self.eps),
             plane_scale=float(self._plane_scale), interpret=self._interpret,
         )

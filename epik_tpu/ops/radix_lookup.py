@@ -33,7 +33,14 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["RadixIndex", "build_radix", "radix_lookup"]
+__all__ = ["RadixIndex", "SPLIT", "build_radix", "radix_lookup",
+           "radix_lookup_packed", "radix_lookup_split",
+           "radix_lookup_dispatch"]
+
+
+#: ``off_bits`` sentinel selecting :func:`radix_lookup_split` in the shared
+#: dispatch (the two device arrays are then v1/v2, not offc/low2).
+SPLIT = -1
 
 
 @dataclasses.dataclass
@@ -51,18 +58,43 @@ class RadixIndex:
     offc: np.ndarray | None = None
     low2: np.ndarray | None = None
     off_bits: int = 0
+    #: SPLIT-WORD tables (round 5; gate: split_shift <= 10, max bucket at
+    #: the split table width <= 3, n < 2**29).  Both are indexed by the SAME
+    #: bucket id, so the two element gathers are INDEPENDENT -- one
+    #: dependency level instead of the packed variant's two (offc must
+    #: resolve before low2 can be addressed).  v1[b] = start | (count << 29);
+    #: v2[b] = low0 | (low1 << s) | (low2 << 2s) with s = split_shift.
+    v1: np.ndarray | None = None
+    v2: np.ndarray | None = None
+    split_shift: int = 0
 
     @property
     def packed(self) -> bool:
         return self.offc is not None
 
+    @property
+    def split(self) -> bool:
+        return self.v1 is not None
+
     def device_arrays(self):
+        if self.split:
+            return jnp.asarray(self.v1), jnp.asarray(self.v2)
         if self.packed:
             return jnp.asarray(self.offc), jnp.asarray(self.low2)
         return jnp.asarray(self.off), jnp.asarray(self.low)
 
+    def dispatch_args(self):
+        """(shift, n_probe, off_bits) statics for :func:`radix_lookup_dispatch`,
+        matching whatever representation :meth:`device_arrays` returned."""
+        if self.split:
+            return self.split_shift, self.max_bucket, SPLIT
+        if self.packed:
+            return self.shift, self.max_bucket, self.off_bits
+        return self.shift, self.max_bucket, 0
 
-def build_radix(keys: np.ndarray, key_bits: int, max_table_bits: int = 24) -> RadixIndex:
+
+def build_radix(keys: np.ndarray, key_bits: int, max_table_bits: int = 24,
+                allow_split: bool = True) -> RadixIndex:
     """Build the index from SORTED unique uint64 keys (< 2**key_bits).
 
     ``table_bits`` targets ~32 buckets per key (load 1/32) capped at
@@ -86,6 +118,26 @@ def build_radix(keys: np.ndarray, key_bits: int, max_table_bits: int = 24) -> Ra
     low = (keys & np.uint64((1 << shift) - 1)).astype(np.int32)
     max_bucket = int(counts.max()) if n else 0
     idx = RadixIndex(off=off, low=low, shift=shift, max_bucket=max_bucket)
+    # split-word variant (see RadixIndex.v1): 2 INDEPENDENT gather passes.
+    # Widen the table until the low bits fit 3-per-word (split_shift <= 10,
+    # so 3 lows + nothing else occupy 30 bits of v2); cap at 2**25 buckets
+    # (2 x 128 MB of HBM) -- wider key spaces keep the packed/generic form.
+    s_shift = max(0, key_bits - 25)
+    if allow_split and n and s_shift <= 10 and n < (1 << 29):
+        s_tb = key_bits - s_shift
+        s_buckets = (keys >> np.uint64(s_shift)).astype(np.int64)
+        s_counts = np.bincount(s_buckets, minlength=(1 << s_tb))
+        if int(s_counts.max()) <= 3:
+            s_off = np.zeros(1 << s_tb, np.int64)
+            np.cumsum(s_counts[:-1], out=s_off[1:])
+            s_low = (keys & np.uint64((1 << s_shift) - 1)).astype(np.int64)
+            v2 = np.zeros(1 << s_tb, np.int64)
+            pos_in_bucket = np.arange(n, dtype=np.int64) - s_off[s_buckets]
+            np.add.at(v2, s_buckets, s_low << (s_shift * pos_in_bucket))
+            idx.split_shift = s_shift
+            idx.v1 = (s_off | (s_counts.astype(np.int64) << 29)).astype(np.int32)
+            idx.v2 = v2.astype(np.int32)
+            return idx
     # packed variant (see RadixIndex.offc): 3 gather passes instead of 5
     cb = max(max_bucket, 1).bit_length()
     off_bits = 31 - cb
@@ -142,6 +194,44 @@ def radix_lookup_packed(offc, low2, a, b, *, shift: int, off_bits: int,
         hit = (pos >= st) & (pos < en) & (cand == lo)
         row = jnp.where(hit, pos, row)
     return row
+
+
+def radix_lookup_split(v1, v2, a, b, *, shift: int, n_keys: int):
+    """Split-word device lookup: TWO element-gather passes, both indexed by
+    the bucket id -- independent, so the chip can issue them concurrently
+    (the packed form's low2 gather must wait for offc).  ``v1[bucket]``
+    holds start|count<<29, ``v2[bucket]`` up to three ``shift``-bit lows.
+    Misses return ``n_keys``.  Exact: same-bucket keys differ in their low
+    bits by construction, and the count field gates unused low slots."""
+    i32 = jnp.int32
+    bucket, lo = _split_bucket_lo(a, b, shift)
+    o1 = jnp.take(v1, bucket, axis=0)
+    o2 = jnp.take(v2, bucket, axis=0)
+    st = o1 & i32((1 << 29) - 1)
+    cnt = o1 >> i32(29)  # o1 is non-negative (count <= 3, start < 2**29)
+    mask = i32((1 << shift) - 1) if shift else i32(0)
+    row = jnp.full(a.shape, n_keys, i32)
+    for j in range(3):
+        cand = (o2 >> i32(j * shift)) & mask if shift else jnp.zeros_like(o2)
+        hit = (i32(j) < cnt) & (cand == lo)
+        row = jnp.where(hit, st + i32(j), row)
+    return row
+
+
+def radix_lookup_dispatch(arr1, arr2, a, b, *, shift: int, n_probe: int,
+                          off_bits: int, n_keys: int):
+    """Representation-dispatching lookup: ``off_bits`` == SPLIT selects the
+    split-word form (arr1/arr2 = v1/v2), > 0 the packed form (offc/low2),
+    0 the generic probe loop (off/low).  Statics come from
+    :meth:`RadixIndex.dispatch_args`."""
+    if off_bits == SPLIT:
+        return radix_lookup_split(arr1, arr2, a, b, shift=shift,
+                                  n_keys=n_keys)
+    if off_bits > 0:
+        return radix_lookup_packed(arr1, arr2, a, b, shift=shift,
+                                   off_bits=off_bits, n_keys=n_keys)
+    return radix_lookup(arr1, arr2, a, b, shift=shift, n_probe=n_probe,
+                        n_keys=n_keys)
 
 
 def radix_lookup(off, low, a, b, *, shift: int, n_probe: int, n_keys: int):

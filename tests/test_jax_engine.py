@@ -837,7 +837,7 @@ class TestAminoCodesPath:
         key_bits = 30
         keys = np.unique(rng.integers(0, 1 << key_bits, 20000,
                                       dtype=np.uint64))
-        idx = build_radix(keys, key_bits)
+        idx = build_radix(keys, key_bits, allow_split=False)
         assert idx.packed, (idx.shift, idx.max_bucket)
         queries = np.concatenate([
             keys[rng.integers(0, keys.size, 3000)],
@@ -854,6 +854,36 @@ class TestAminoCodesPath:
         pos_c = np.minimum(pos, keys.size - 1)
         want = np.where(keys[pos_c] == queries, pos_c, keys.size)
         np.testing.assert_array_equal(got, want)
+
+    def test_radix_lookup_split_exact(self):
+        """The split-word 2-independent-gather lookup (round 5) vs
+        np.searchsorted, at several key widths spanning split_shift 0..10
+        (incl. the amino-k=8 width 35)."""
+        import jax.numpy as jnp
+
+        from epik_tpu.ops.radix_lookup import build_radix, radix_lookup_split
+
+        rng = np.random.default_rng(11)
+        for key_bits, n_gen in ((35, 30000), (30, 20000), (18, 4000)):
+            keys = np.unique(rng.integers(0, 1 << key_bits, n_gen,
+                                          dtype=np.uint64))
+            idx = build_radix(keys, key_bits)
+            assert idx.split, (key_bits, idx.split_shift)
+            queries = np.concatenate([
+                keys[rng.integers(0, keys.size, 3000)],
+                rng.integers(0, 1 << key_bits, 3000, dtype=np.uint64),
+                keys[:2], keys[-2:],
+            ])
+            a = (queries >> np.uint64(16)).astype(np.uint32)
+            b = (queries & np.uint64(0xFFFF)).astype(np.uint32)
+            v1, v2 = idx.device_arrays()
+            got = np.asarray(radix_lookup_split(
+                v1, v2, jnp.asarray(a), jnp.asarray(b),
+                shift=idx.split_shift, n_keys=keys.size))
+            pos = np.searchsorted(keys, queries)
+            pos_c = np.minimum(pos, keys.size - 1)
+            want = np.where(keys[pos_c] == queries, pos_c, keys.size)
+            np.testing.assert_array_equal(got, want)
 
 
 class TestTilesPath:
