@@ -33,14 +33,16 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["RadixIndex", "SPLIT", "build_radix", "radix_lookup",
-           "radix_lookup_packed", "radix_lookup_split",
+__all__ = ["RadixIndex", "LP", "build_radix", "radix_lookup",
+           "radix_lookup_packed", "radix_lookup_lp",
            "radix_lookup_dispatch"]
 
 
-#: ``off_bits`` sentinel selecting :func:`radix_lookup_split` in the shared
-#: dispatch (the two device arrays are then v1/v2, not offc/low2).
-SPLIT = -1
+#: ``off_bits`` < 0 selects :func:`radix_lookup_lp` in the shared dispatch
+#: (the two device arrays are then v1/lp, not offc/low2); the magnitude is
+#: the start-field width ``nb``.
+def LP(nb: int) -> int:
+    return -nb
 
 
 @dataclasses.dataclass
@@ -58,27 +60,34 @@ class RadixIndex:
     offc: np.ndarray | None = None
     low2: np.ndarray | None = None
     off_bits: int = 0
-    #: SPLIT-WORD tables (round 5; gate: split_shift <= 10, max bucket at
-    #: the split table width <= 3, n < 2**29).  Both are indexed by the SAME
-    #: bucket id, so the two element gathers are INDEPENDENT -- one
-    #: dependency level instead of the packed variant's two (offc must
-    #: resolve before low2 can be addressed).  v1[b] = start | (count << 29);
-    #: v2[b] = low0 | (low1 << s) | (low2 << 2s) with s = split_shift.
+    #: LOW-PAIR-OVERLAP tables (round 5): TWO gather passes total, both
+    #: under the v5e table-size cliff (measured: a 561k-element gather
+    #: costs ~2.5-3 ms from any table <= 64 MB but 6.1 ms from 128 MB, so
+    #: pass COUNT and first-table size are what matter -- a symmetric
+    #: 2 x 128 MB split variant measured SLOWER than the 3-pass packed
+    #: form, 14.6 vs 12.3 ms/4096x137 batch).  v1[bucket] (<= 2**24
+    #: buckets, 64 MB) = start | count << nb | hi(low[start+2]) << (nb+2);
+    #: lp[i] (n+3 entries, cached) packs low[i], low[i+1] and the low
+    #: 31-2s bits of low[i+2] -- OVERLAPPING triples, so no alignment
+    #: padding is needed and lp[start] covers every candidate of a
+    #: <= 3-key bucket.  Gate: shift s <= 11, max bucket <= 3,
+    #: nb + 2 + max(0, 3s-31) <= 31.
     v1: np.ndarray | None = None
-    v2: np.ndarray | None = None
-    split_shift: int = 0
+    lp: np.ndarray | None = None
+    lp_shift: int = 0
+    lp_nb: int = 0
 
     @property
     def packed(self) -> bool:
         return self.offc is not None
 
     @property
-    def split(self) -> bool:
+    def lowpair(self) -> bool:
         return self.v1 is not None
 
     def device_arrays(self):
-        if self.split:
-            return jnp.asarray(self.v1), jnp.asarray(self.v2)
+        if self.lowpair:
+            return jnp.asarray(self.v1), jnp.asarray(self.lp)
         if self.packed:
             return jnp.asarray(self.offc), jnp.asarray(self.low2)
         return jnp.asarray(self.off), jnp.asarray(self.low)
@@ -86,8 +95,8 @@ class RadixIndex:
     def dispatch_args(self):
         """(shift, n_probe, off_bits) statics for :func:`radix_lookup_dispatch`,
         matching whatever representation :meth:`device_arrays` returned."""
-        if self.split:
-            return self.split_shift, self.max_bucket, SPLIT
+        if self.lowpair:
+            return self.lp_shift, self.max_bucket, LP(self.lp_nb)
         if self.packed:
             return self.shift, self.max_bucket, self.off_bits
         return self.shift, self.max_bucket, 0
@@ -118,25 +127,36 @@ def build_radix(keys: np.ndarray, key_bits: int, max_table_bits: int = 24,
     low = (keys & np.uint64((1 << shift) - 1)).astype(np.int32)
     max_bucket = int(counts.max()) if n else 0
     idx = RadixIndex(off=off, low=low, shift=shift, max_bucket=max_bucket)
-    # split-word variant (see RadixIndex.v1): 2 INDEPENDENT gather passes.
-    # Widen the table until the low bits fit 3-per-word (split_shift <= 10,
-    # so 3 lows + nothing else occupy 30 bits of v2); cap at 2**25 buckets
-    # (2 x 128 MB of HBM) -- wider key spaces keep the packed/generic form.
-    s_shift = max(0, key_bits - 25)
-    if allow_split and n and s_shift <= 10 and n < (1 << 29):
-        s_tb = key_bits - s_shift
-        s_buckets = (keys >> np.uint64(s_shift)).astype(np.int64)
+    # low-pair-overlap variant (see RadixIndex.v1): 2 gather passes, first
+    # table capped at 2**24 buckets (64 MB, under the measured v5e
+    # table-size cliff), second the tiny overlapping-triple array.
+    s_tb = min(24, key_bits)
+    s = key_bits - s_tb
+    nb = max(1, int(n).bit_length())
+    b3 = max(0, 3 * s - 31)  # third-low bits that spill into v1
+    if allow_split and n and s <= 11 and nb + 2 + b3 <= 31:
+        s_buckets = (keys >> np.uint64(s)).astype(np.int64)
         s_counts = np.bincount(s_buckets, minlength=(1 << s_tb))
         if int(s_counts.max()) <= 3:
             s_off = np.zeros(1 << s_tb, np.int64)
             np.cumsum(s_counts[:-1], out=s_off[1:])
-            s_low = (keys & np.uint64((1 << s_shift) - 1)).astype(np.int64)
-            v2 = np.zeros(1 << s_tb, np.int64)
-            pos_in_bucket = np.arange(n, dtype=np.int64) - s_off[s_buckets]
-            np.add.at(v2, s_buckets, s_low << (s_shift * pos_in_bucket))
-            idx.split_shift = s_shift
-            idx.v1 = (s_off | (s_counts.astype(np.int64) << 29)).astype(np.int32)
-            idx.v2 = v2.astype(np.int32)
+            s_low = (keys & np.uint64((1 << s) - 1)).astype(np.int64)
+            lo_pad = np.zeros(n + 3, np.int64)
+            lo_pad[:n] = s_low
+            lp_lo3 = 31 - 2 * s if s else 0  # low3 bits kept in lp
+            lp_w = lo_pad[:-2].copy()
+            if s:
+                lp_w |= lo_pad[1:-1] << s
+                lp_w |= (lo_pad[2:] & ((1 << lp_lo3) - 1)) << (2 * s)
+            v1 = s_off | (s_counts.astype(np.int64) << nb)
+            if b3:
+                # top bits of low[start+2], valid only for 3-key buckets
+                hi3 = (lo_pad[2:][s_off] >> lp_lo3) & ((1 << b3) - 1)
+                v1 |= hi3 << (nb + 2)
+            idx.lp_shift = s
+            idx.lp_nb = nb
+            idx.v1 = v1.astype(np.int32)
+            idx.lp = lp_w.astype(np.int32)
             return idx
     # packed variant (see RadixIndex.offc): 3 gather passes instead of 5
     cb = max(max_bucket, 1).bit_length()
@@ -196,23 +216,35 @@ def radix_lookup_packed(offc, low2, a, b, *, shift: int, off_bits: int,
     return row
 
 
-def radix_lookup_split(v1, v2, a, b, *, shift: int, n_keys: int):
-    """Split-word device lookup: TWO element-gather passes, both indexed by
-    the bucket id -- independent, so the chip can issue them concurrently
-    (the packed form's low2 gather must wait for offc).  ``v1[bucket]``
-    holds start|count<<29, ``v2[bucket]`` up to three ``shift``-bit lows.
-    Misses return ``n_keys``.  Exact: same-bucket keys differ in their low
-    bits by construction, and the count field gates unused low slots."""
+def radix_lookup_lp(v1, lp, a, b, *, shift: int, nb: int, n_keys: int):
+    """Low-pair-overlap device lookup: TWO element-gather passes.
+
+    Pass 1: ``v1[bucket]`` (<= 64 MB) -> start, count, and (when shift is
+    11) the two spill bits of the third candidate's low.  Pass 2:
+    ``lp[start]`` (tiny, cache-resident) -> the up-to-three candidate
+    lows as an overlapping triple.  Misses return ``n_keys``.  Exact:
+    same-bucket keys differ in their low bits, the count field gates
+    unused slots, and the third low is reassembled in full."""
     i32 = jnp.int32
     bucket, lo = _split_bucket_lo(a, b, shift)
     o1 = jnp.take(v1, bucket, axis=0)
-    o2 = jnp.take(v2, bucket, axis=0)
-    st = o1 & i32((1 << 29) - 1)
-    cnt = o1 >> i32(29)  # o1 is non-negative (count <= 3, start < 2**29)
+    st = o1 & i32((1 << nb) - 1)
+    cnt = (o1 >> i32(nb)) & i32(3)
+    w = jnp.take(lp, st, axis=0)
     mask = i32((1 << shift) - 1) if shift else i32(0)
+    b3 = max(0, 3 * shift - 31)
+    lo3_bits = 31 - 2 * shift if shift else 0
+    if shift:
+        c0 = w & mask
+        c1 = (w >> i32(shift)) & mask
+        c2 = (w >> i32(2 * shift)) & i32((1 << lo3_bits) - 1)
+        if b3:
+            hi3 = (o1 >> i32(nb + 2)) & i32((1 << b3) - 1)
+            c2 = c2 | (hi3 << i32(lo3_bits))
+    else:
+        c0 = c1 = c2 = jnp.zeros_like(w)
     row = jnp.full(a.shape, n_keys, i32)
-    for j in range(3):
-        cand = (o2 >> i32(j * shift)) & mask if shift else jnp.zeros_like(o2)
+    for j, cand in enumerate((c0, c1, c2)):
         hit = (i32(j) < cnt) & (cand == lo)
         row = jnp.where(hit, st + i32(j), row)
     return row
@@ -220,13 +252,13 @@ def radix_lookup_split(v1, v2, a, b, *, shift: int, n_keys: int):
 
 def radix_lookup_dispatch(arr1, arr2, a, b, *, shift: int, n_probe: int,
                           off_bits: int, n_keys: int):
-    """Representation-dispatching lookup: ``off_bits`` == SPLIT selects the
-    split-word form (arr1/arr2 = v1/v2), > 0 the packed form (offc/low2),
-    0 the generic probe loop (off/low).  Statics come from
-    :meth:`RadixIndex.dispatch_args`."""
-    if off_bits == SPLIT:
-        return radix_lookup_split(arr1, arr2, a, b, shift=shift,
-                                  n_keys=n_keys)
+    """Representation-dispatching lookup: ``off_bits`` < 0 selects the
+    low-pair-overlap form (arr1/arr2 = v1/lp, nb = -off_bits), > 0 the
+    packed form (offc/low2), 0 the generic probe loop (off/low).  Statics
+    come from :meth:`RadixIndex.dispatch_args`."""
+    if off_bits < 0:
+        return radix_lookup_lp(arr1, arr2, a, b, shift=shift,
+                               nb=-off_bits, n_keys=n_keys)
     if off_bits > 0:
         return radix_lookup_packed(arr1, arr2, a, b, shift=shift,
                                    off_bits=off_bits, n_keys=n_keys)

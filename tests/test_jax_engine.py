@@ -855,20 +855,25 @@ class TestAminoCodesPath:
         want = np.where(keys[pos_c] == queries, pos_c, keys.size)
         np.testing.assert_array_equal(got, want)
 
-    def test_radix_lookup_split_exact(self):
-        """The split-word 2-independent-gather lookup (round 5) vs
-        np.searchsorted, at several key widths spanning split_shift 0..10
-        (incl. the amino-k=8 width 35)."""
+    def test_radix_lookup_lp_exact(self):
+        """The low-pair-overlap 2-gather lookup (round 5) vs
+        np.searchsorted, at key widths spanning shift 0..11 (incl. the
+        amino-k=8 width 35, where the third low's top bits spill into
+        v1)."""
         import jax.numpy as jnp
 
-        from epik_tpu.ops.radix_lookup import build_radix, radix_lookup_split
+        from epik_tpu.ops.radix_lookup import build_radix, radix_lookup_lp
 
         rng = np.random.default_rng(11)
-        for key_bits, n_gen in ((35, 30000), (30, 20000), (18, 4000)):
+        for key_bits, n_gen in ((35, 120000), (30, 20000), (18, 4000)):
             keys = np.unique(rng.integers(0, 1 << key_bits, n_gen,
                                           dtype=np.uint64))
             idx = build_radix(keys, key_bits)
-            assert idx.split, (key_bits, idx.split_shift)
+            assert idx.lowpair, (key_bits, idx.lp_shift)
+            if key_bits == 35:
+                assert idx.lp_shift == 11  # exercises the spill-bit path
+                counts = np.bincount((keys >> np.uint64(11)).astype(np.int64))
+                assert counts.max() >= 3  # 3-key buckets present
             queries = np.concatenate([
                 keys[rng.integers(0, keys.size, 3000)],
                 rng.integers(0, 1 << key_bits, 3000, dtype=np.uint64),
@@ -876,10 +881,10 @@ class TestAminoCodesPath:
             ])
             a = (queries >> np.uint64(16)).astype(np.uint32)
             b = (queries & np.uint64(0xFFFF)).astype(np.uint32)
-            v1, v2 = idx.device_arrays()
-            got = np.asarray(radix_lookup_split(
-                v1, v2, jnp.asarray(a), jnp.asarray(b),
-                shift=idx.split_shift, n_keys=keys.size))
+            v1, lp = idx.device_arrays()
+            got = np.asarray(radix_lookup_lp(
+                v1, lp, jnp.asarray(a), jnp.asarray(b),
+                shift=idx.lp_shift, nb=idx.lp_nb, n_keys=keys.size))
             pos = np.searchsorted(keys, queries)
             pos_c = np.minimum(pos, keys.size - 1)
             want = np.where(keys[pos_c] == queries, pos_c, keys.size)
