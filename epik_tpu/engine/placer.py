@@ -165,6 +165,20 @@ def _bucket(n: int, lo: int) -> int:
     return 1 << max(lo.bit_length() - 1, (max(n, 1) - 1).bit_length())
 
 
+def _bucket_lmax(lmax_true: int) -> int:
+    """Bucketed padded read length for the jit cache.
+
+    Short reads (the reference's amplicon/Illumina regime) keep the tight
+    8-multiple.  Long reads (nanopore, 2-10 kb) would otherwise compile a
+    fresh program for nearly every FASTA batch -- there the granularity is
+    1/16 of the magnitude (<= 12.5% window padding, ~16 cache entries per
+    octave of read length)."""
+    if lmax_true <= 512:
+        return -(-lmax_true // 8) * 8
+    gran = 1 << (lmax_true.bit_length() - 4)
+    return -(-lmax_true // gran) * gran
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _plane_fill(plane, start, vals):
     """In-place (donated) row-range write used by the pair-plane build."""
@@ -1488,6 +1502,28 @@ def _pack_outputs_slim(outs):
     )
 
 
+def _pack_outputs_slim_totals(outs, e_total, a_total):
+    """Slim pack plus the budget-overflow totals row: (R+1, 2K+3).
+
+    The sharded CSR step needs the e/a totals for its overflow-retry
+    protocol (same 20-bit-halves encoding as :func:`_pack_outputs`) but
+    has no reason to ship the full 4K+2 pack -- counts are not part of
+    the jplace format and wr is a pure function of (scores, log_sum)."""
+    body = _pack_outputs_slim(outs)
+    width = body.shape[1]
+    f32 = jnp.float32
+    e_t = e_total.astype(jnp.int32)
+    a_t = a_total.astype(jnp.int32)
+    totals = (
+        jnp.zeros((1, width), f32)
+        .at[0, 0].set((e_t >> 20).astype(f32))
+        .at[0, 1].set((e_t & 0xFFFFF).astype(f32))
+        .at[0, 2].set((a_t >> 20).astype(f32))
+        .at[0, 3].set((a_t & 0xFFFFF).astype(f32))
+    )
+    return jnp.concatenate([body, totals], axis=0)
+
+
 def unpack_outputs_slim(arr: np.ndarray, K: int):
     """Host-side inverse of _pack_outputs_slim; recomputes wr exactly as the
     device would (f32 exp of score - log_sum, zeroed below the double-pow
@@ -2367,7 +2403,7 @@ class JaxPlacer(HostStaging):
         # reads must not spread across several compiled shapes.
         gran = 256 if R_true > 2048 else 64
         R = -(-R_true // gran) * gran
-        Lmax = -(-Lmax_true // 8) * 8  # bucketed jit cache
+        Lmax = _bucket_lmax(Lmax_true)  # bucketed jit cache
 
         m_signed = lens_arr - self.k + 1  # host copy for assembly (quirk Q1)
 
@@ -2466,7 +2502,7 @@ class JaxPlacer(HostStaging):
 
         gran = 256 if R_true > 2048 else 64
         R = -(-R_true // gran) * gran
-        Lmax = -(-Lmax_true // 8) * 8
+        Lmax = _bucket_lmax(Lmax_true)
         flat = np.frombuffer(b"".join(seqs), np.uint8)
         starts = np.concatenate([[0], np.cumsum(lens_arr)])
         mat = np.zeros((R, Lmax), np.uint8)

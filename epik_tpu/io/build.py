@@ -220,17 +220,24 @@ def reads_from_reference(
     ref: bytes, num_reads: int, length: int = 150, mutation_rate: float = 0.02,
     sequence_type: str = "nucl",
     seed: int = 0,
+    length_range: tuple[int, int] | None = None,
 ):
-    """Reads sampled as substrings of the reference with point mutations."""
+    """Reads sampled as substrings of the reference with point mutations.
+
+    ``length_range=(lo, hi)``: per-read lengths drawn uniformly from
+    [lo, hi] (nanopore-shaped long-read mixes) instead of the fixed
+    ``length``."""
     alphabet = get_alphabet(sequence_type)
     rng = np.random.default_rng(seed)
     letters = np.frombuffer(alphabet.letters.encode(), dtype=np.uint8)
     ref_arr = np.frombuffer(ref, dtype=np.uint8)
     out = []
     for i in range(num_reads):
-        start = int(rng.integers(0, len(ref_arr) - length))
-        seq = ref_arr[start : start + length].copy()
-        mut = rng.random(length) < mutation_rate
+        n = (int(rng.integers(length_range[0], length_range[1] + 1))
+             if length_range else length)
+        start = int(rng.integers(0, len(ref_arr) - n))
+        seq = ref_arr[start : start + n].copy()
+        mut = rng.random(n) < mutation_rate
         seq[mut] = letters[rng.integers(0, alphabet.sigma, int(mut.sum()))]
         out.append((f"read_{i}", seq.tobytes()))
     return out

@@ -53,15 +53,18 @@ from ..engine.placer import (
     _U64,
     PlacerConfig,
     _bucket,
+    _bucket_lmax,
     _Pending,
     _pack_outputs,
     _pack_outputs_slim,
+    _pack_outputs_slim_totals,
     accumulate_amb_firsthit,
     accumulate_exact,
     assemble_arrays,
     dense_amb_from_rows,
     dense_sums_from_rows,
     dense_sums_shifted,
+    _tokenize_core,
     build_combo_table,
     device_tokenize_combo,
     device_tokenize_packed,
@@ -629,7 +632,10 @@ def _sharded_csr_step(
         outs = finish_scores(S, C, m[0], B=B, K=K, k=k, log_eps=log_eps)
         e_tot = jax.lax.pmax(e_total, MODEL_AXIS)
         a_tot = jax.lax.pmax(a_total, MODEL_AXIS)
-        return _pack_outputs(outs, e_tot, a_tot)[None]
+        # slim pack + totals row (round 5): counts are not in the jplace
+        # format and wr derives from (scores, log_sum) host-side, so the
+        # CSR wire carries 2K+3 columns like the dense shifted paths
+        return _pack_outputs_slim_totals(outs, e_tot, a_tot)[None]
 
     spec_model = P(MODEL_AXIS)
     spec_data = P(DATA_AXIS)
@@ -643,6 +649,64 @@ def _sharded_csr_step(
         seed1[:, None], seed2[:, None], t_packed, db_post, row_off,
         e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "R", "B", "K", "Pb", "k", "Lmax", "log_eps",
+                     "eps"),
+)
+def _sharded_csr_bytes_step(
+    seed1, seed2, t_packed, db_post, row_off, buf, *,
+    mesh, R: int, B: int, K: int, Pb: int, k: int, Lmax: int,
+    log_eps: float, eps: float,
+):
+    """Hash-sharded CSR step with ON-DEVICE tokenization (round 5).
+
+    Clean DNA batches ship only the packed read buffer (the same native
+    one-pass staging as the dense/tile sharded paths,
+    ``eh_pack_reads``); window keys, their 32/32 halves, and the sorted
+    read-id stream are derived on every shard from the replicated
+    buffer.  Invalid windows take the all-ones sentinel key, which
+    misses the cuckoo table exactly like the host path's padding
+    (``_pad_split``).  Ambiguous batches fall back to the host-staged
+    :func:`_sharded_csr_step` (quirks Q6/Q7 need the expansion
+    streams)."""
+
+    def block(seed1, seed2, t_packed, db_post, row_off, buf):
+        i32 = jnp.int32
+        u32 = jnp.uint32
+        f32 = jnp.float32
+        table = t_packed[0]
+        s1 = seed1[0, 0]
+        s2 = seed2[0, 0]
+        key, ok, _c, lens = _tokenize_core(buf, k=k, Lmax=Lmax)
+        W = key.shape[1]
+        e_hi = jnp.where(ok, u32(0), u32(0xFFFFFFFF)).reshape(-1)
+        e_lo = jnp.where(ok, key, u32(0xFFFFFFFF)).reshape(-1)
+        e_read = jax.lax.broadcasted_iota(i32, (R, W), 0).reshape(-1)
+        S, C, e_total = accumulate_exact(
+            table, db_post[0], row_off[0], e_hi, e_lo, e_read,
+            R=R, B=B, P=Pb, seed1=s1, seed2=s2,
+        )
+        S = jax.lax.psum(S, MODEL_AXIS)
+        C = jax.lax.psum(C, MODEL_AXIS)
+        m_signed = lens - i32(k - 1)
+        m_f32 = jnp.where(
+            m_signed >= 0, m_signed.astype(f32),
+            f32(float(_U64)) + m_signed.astype(f32),
+        )
+        outs = finish_scores(S, C, m_f32, B=B, K=K, k=k, log_eps=log_eps)
+        e_tot = jax.lax.pmax(e_total, MODEL_AXIS)
+        return _pack_outputs_slim_totals(outs, e_tot, jnp.int32(0))[None]
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS),) * 5 + (P(DATA_AXIS),),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(seed1[:, None], seed2[:, None], t_packed, db_post, row_off, buf)
 
 
 # ---------------------------------------------------------------------------
@@ -882,7 +946,7 @@ class ShardedJaxPlacer(HostStaging):
         Lmax_true = int(lens_arr.max())
         if not (self.k <= Lmax_true <= 0xFFFF):
             return None
-        Lmax = -(-Lmax_true // 8) * 8
+        Lmax = _bucket_lmax(Lmax_true)
         flat = np.frombuffer(b"".join(seqs), np.uint8)
         starts = np.concatenate([[0], np.cumsum(lens_arr)])
         mat = np.zeros((R_tot, Lmax), np.uint8)
@@ -918,7 +982,7 @@ class ShardedJaxPlacer(HostStaging):
         Lmax_true = int(lens_arr.max())
 
         if self._fast_bytes and self.k <= Lmax_true <= 0xFFFF:
-            Lmax = -(-Lmax_true // 8) * 8
+            Lmax = _bucket_lmax(Lmax_true)
             # one native staging pass (pack + char-code map + ambiguity
             # scan, ~2 ms vs ~30 ms numpy on the 2-core host; the same
             # round-4 lever that put the single-chip loop at the device
@@ -988,6 +1052,45 @@ class ShardedJaxPlacer(HostStaging):
         R_tot = self.n_data * R_loc
         K = min(cfg.keep_at_most, self.B)
         nd = self.n_data
+
+        # device-tokenize fast path (round 5): clean DNA batches ship only
+        # the packed byte buffer, like the dense/tile sharded paths
+        if (
+            self._sdb is not None
+            and cfg.tokenize_where in ("auto", "device")
+            and self.alphabet.sigma == 4
+            and self.k <= 16
+        ):
+            lens_arr = np.fromiter((len(s) for s in seqs), np.int64,
+                                   count=R_true)
+            Lmax_true = int(lens_arr.max())
+            if self.k <= Lmax_true <= 0xFFFF:
+                Lmax = _bucket_lmax(Lmax_true)
+                buf, amb_mask = self._pack_reads_fast(seqs, lens_arr, Lmax,
+                                                      R_tot)
+                if not amb_mask.any():
+                    W = Lmax - self.k + 1
+                    est = max(1, int(self._sdb.avg_plen
+                                     * cfg.budget_headroom))
+                    Pb = _bucket(
+                        max(1, R_loc * W * est // max(1, self.n_model)),
+                        cfg.min_bucket,
+                    )
+                    inputs = (
+                        jnp.asarray(self._seed1), jnp.asarray(self._seed2),
+                        self._dev_packed, self._dev_postings,
+                        self._dev_row_off, buf,
+                    )
+                    out = _sharded_csr_bytes_step(
+                        *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K,
+                        Pb=Pb, k=self.k, Lmax=Lmax,
+                        log_eps=float(self.log_eps), eps=float(self.eps),
+                    )
+                    m_signed = lens_arr - self.k + 1
+                    return _Pending(
+                        sequence_map, seqs, m_signed, out,
+                        (Pb, 0, "bytes", Lmax), (inputs, R_true, K),
+                    )
 
         groups = [seqs[g * R_loc : (g + 1) * R_loc] for g in range(nd)]
         toks = [self._tokenize(g) for g in groups]
@@ -1067,7 +1170,8 @@ class ShardedJaxPlacer(HostStaging):
                 flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
             return self._assemble_flat(pending, flat, K)
 
-        Pb, PAb = pending.budgets
+        Pb, PAb, *kind = pending.budgets
+        bytes_mode = bool(kind) and kind[0] == "bytes"
         out = pending.out
         while True:
             arr = self._fetch(out)
@@ -1087,11 +1191,18 @@ class ShardedJaxPlacer(HostStaging):
             self.overflow_retries += 1
             Pb = _bucket(int(e_tot), cfg.min_bucket) if e_tot > Pb else Pb
             PAb = _bucket(int(a_tot), cfg.min_bucket) if a_tot > PAb else PAb
-            out = _sharded_csr_step(
-                *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K, Pb=Pb,
-                PAb=PAb, k=self.k, log_eps=float(self.log_eps),
-                eps=float(self.eps),
-            )
+            if bytes_mode:
+                out = _sharded_csr_bytes_step(
+                    *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K,
+                    Pb=Pb, k=self.k, Lmax=kind[1],
+                    log_eps=float(self.log_eps), eps=float(self.eps),
+                )
+            else:
+                out = _sharded_csr_step(
+                    *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K, Pb=Pb,
+                    PAb=PAb, k=self.k, log_eps=float(self.log_eps),
+                    eps=float(self.eps),
+                )
         flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
         return self._assemble_flat(pending, flat, K)
 

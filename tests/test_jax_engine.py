@@ -671,6 +671,32 @@ class TestInt16Plane:
         out_jax = self._placer(db).place(reads)
         assert_equivalent(out_ref, out_jax)
 
+    def test_nanopore_length_mix(self):
+        """A mixed 1.5-3 kb batch (nanopore-shaped, SURVEY.md section 5.7)
+        matches the oracle through the default engine, and the coarse Lmax
+        bucketing keeps the jit cache bounded across jittered batches."""
+        from epik_tpu.engine.placer import _bucket_lmax
+        from epik_tpu.io.build import reads_from_reference, reference_like_db
+
+        # short regime keeps the 8-multiple; long regime coarsens to ~1/8
+        assert _bucket_lmax(150) == 152 and _bucket_lmax(512) == 512
+        for L in (513, 2000, 6345, 9999):
+            b = _bucket_lmax(L)
+            assert b >= L and b % 8 == 0 and (b - L) <= L / 7
+        # jittered long batches share a bucket (bounded compile count)
+        assert len({_bucket_lmax(L) for L in range(6000, 6400)}) <= 2
+
+        db, ref = reference_like_db(num_leaves=24, kmer_size=6,
+                                    ref_length=20_000, mean_posting_len=6.0,
+                                    seed=146)
+        tree = parse_newick(db.tree())
+        reads = reads_from_reference(ref, 6, mutation_rate=0.05, seed=147,
+                                     length_range=(1500, 3000))
+        reads += [("tail", reads[0][1][:40])]  # short read in the same batch
+        out_ref = ReferencePlacer(db, tree).place(reads)
+        out_jax = self._placer(db).place(reads)
+        assert_equivalent(out_ref, out_jax)
+
 
 class TestPairPlane:
     """pair_plane: one (k+1)-mer row gather per two windows (bytes path).

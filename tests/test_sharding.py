@@ -192,17 +192,27 @@ def test_hot_shard_overflow_retry():
             DNA.decode_key(int(hot_keys[rng.integers(hot_keys.shape[0])]), 6)
             for _ in range(4)
         ]
+        # distinct tail per read: identical sequences dedup into ONE unique
+        # read (sequence_map), which would keep the hot mass under budget
+        parts.append(DNA.decode_key(i, 6))
         recs.append((f"hot{i}", "".join(parts).encode()))
 
     tree = parse_newick(db.tree())
     mesh = make_mesh(n_data=2, n_model=n_model)
-    sharded = ShardedJaxPlacer(db, tree, mesh, config=PlacerConfig(dense_db="off"))
-    assert not sharded._dense_db
     ref = ReferencePlacer(db, tree)
-    assert_equivalent(ref.place(recs), sharded.place(recs))
-    assert sharded.overflow_retries > 0, (
-        "fixture failed to overflow the uniform shard budget"
-    )
+    want = ref.place(recs)
+    # both CSR staging paths must detect the hot shard and retry: the
+    # round-5 device-tokenize bytes path and the host-staged streams path
+    for tok in ("device", "host"):
+        sharded = ShardedJaxPlacer(
+            db, tree, mesh,
+            config=PlacerConfig(dense_db="off", tokenize_where=tok),
+        )
+        assert not sharded._dense_db
+        assert_equivalent(want, sharded.place(recs))
+        assert sharded.overflow_retries > 0, (
+            f"fixture failed to overflow the uniform shard budget ({tok})"
+        )
 
 
 def test_sharded_pipeline_inflight(tmp_path):
