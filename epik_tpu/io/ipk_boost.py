@@ -393,7 +393,7 @@ def _interpretations(data: bytes, off: int) -> str:
 
 
 def _trace_fields(data: bytes, size_width: int, version_width: int = 4,
-                  class_info: bool = False):
+                  class_info: bool = False, layout: str = "flat"):
     """Parse the reconstructed layout recording every field; stop at the
     first deviation.  Returns (trace_lines, error_or_None).
 
@@ -405,13 +405,39 @@ def _trace_fields(data: bytes, size_width: int, version_width: int = 4,
         u8 tracking flag + u32 class version) before the first object of a
         tracked class unless the type is marked
         ``boost::serialization::object_serializable``; i2l's trait choice
-        cannot be read (empty submodule), so both are tried.
+        cannot be read (empty submodule), so both are tried;
+      * ``layout`` -- container serialization convention (round-5 verdict
+        ask #8; each is a hypothesis for how i2l's collections were
+        written, since the submodule is empty):
+
+        - ``"flat"``   -- bare counts (the current reconstruction:
+          collections as [size_t count][items...]);
+        - ``"vecver"`` -- Boost ``save_collection`` with library_version
+          > 3 emits a u32 ``item_version`` after every collection count
+          (boost/serialization/collections_save_imp.hpp), so every
+          vector-like section reads [count][u32 item_version][items...];
+        - ``"umap"``   -- ``std::unordered_map`` hashed-collection
+          convention (boost/serialization/hash_collections_save_imp.hpp):
+          the k-mer map section reads [count][size_t bucket_count]
+          [u32 item_version][items...]; other collections as ``vecver``.
     """
     t: list[str] = []
     r = BinaryArchiveReader(data, size_width=size_width)
 
     def rec(name, off, val):
         t.append(f"  @{off:<10d} {name:24s} = {val!r}")
+
+    def item_version(section):
+        """vecver/umap: the u32 item_version word after a collection count."""
+        if layout == "flat":
+            return
+        off = r.pos
+        iv = r.u32()
+        rec(f"{section} item_version", off, iv)
+        if iv > 255:
+            raise UnverifiedFormatError(
+                f"implausible {section} item_version {iv}"
+            )
 
     try:
         off = r.pos
@@ -452,6 +478,7 @@ def _trace_fields(data: bytes, size_width: int, version_width: int = 4,
         rec("tree_index size", off, n_nodes)
         if n_nodes > 100_000_000:
             raise UnverifiedFormatError(f"implausible tree_index size {n_nodes}")
+        item_version("tree_index")
         off = r.pos
         ti = r.array(np.dtype([("num", "<u8"), ("len", "<f8")]), n_nodes)
         rec("tree_index[0:3]", off,
@@ -469,6 +496,18 @@ def _trace_fields(data: bytes, size_width: int, version_width: int = 4,
         rec("num k-mers", off, n_kmers)
         if n_kmers > 1 << 40:
             raise UnverifiedFormatError(f"implausible k-mer count {n_kmers}")
+        if layout == "umap":
+            off = r.pos
+            bc = r.size_t()
+            rec("k-mer map bucket_count", off, bc)
+            # a real unordered_map keeps load factor ~1: bucket_count is
+            # near (or above) the element count, never wildly off
+            if not (n_kmers // 16 <= bc <= max(16, n_kmers) * 64):
+                raise UnverifiedFormatError(
+                    f"implausible bucket_count {bc} for {n_kmers} k-mers"
+                )
+        item_version("k-mer map")
+        iv_bytes = 0 if layout == "flat" else 4
         for i in range(min(3, n_kmers)):
             off = r.pos
             key = r.u64()
@@ -476,10 +515,11 @@ def _trace_fields(data: bytes, size_width: int, version_width: int = 4,
             rec(f"k-mer[{i}] key/count", off, (key, cnt))
             if cnt > 1 << 32:
                 raise UnverifiedFormatError(f"implausible posting count {cnt}")
+            item_version(f"k-mer[{i}] postings")
             pair = r.array(np.dtype([("b", "<u4"), ("s", "<f4")]), min(cnt, 2))
             rec(f"k-mer[{i}] postings[:2]", r.pos,
                 [(int(b), round(float(s), 4)) for b, s in pair])
-            r.pos = off + 8 + r.size_width + 8 * cnt
+            r.pos = off + 8 + r.size_width + iv_bytes + 8 * cnt
         remaining = len(data) - r.pos
         rec("first records parsed; bytes after sampled prefix", r.pos, remaining)
         return t, None
@@ -528,21 +568,25 @@ def probe_ipk(path: str) -> str:
         lines.append("landmark newick: no '(...);' span found")
 
     # variant grid: size_t width x protocol-version width x class-info
-    # preamble (see _trace_fields); every variant is walked and the clean
-    # ones are listed first -- "which layout parses" is the probe's answer
+    # preamble x container layout (see _trace_fields); every variant is
+    # walked and the clean ones are listed first -- "which layout parses"
+    # is the probe's answer
     variants = [
-        (sw, vw, ci)
+        (sw, vw, ci, ly)
         for sw in (8, 4)
         for vw in (4, 8)
         for ci in (False, True)
+        for ly in ("flat", "vecver", "umap")
     ]
     results = []
-    for sw, vw, ci in variants:
-        trace, err = _trace_fields(data, sw, version_width=vw, class_info=ci)
-        results.append(((sw, vw, ci), trace, err))
+    for sw, vw, ci, ly in variants:
+        trace, err = _trace_fields(data, sw, version_width=vw, class_info=ci,
+                                   layout=ly)
+        results.append(((sw, vw, ci, ly), trace, err))
     clean = [v for v, _, err in results if err is None]
     lines.append(
-        "\nvariant grid (size_t x version width x class-info preamble): "
+        "\nvariant grid (size_t x version width x class-info preamble"
+        " x container layout): "
         + (f"CLEAN under {clean}" if clean else "no variant parses cleanly")
     )
     # full traces: all clean variants, plus the deepest-reaching failure
@@ -554,10 +598,10 @@ def probe_ipk(path: str) -> str:
             key=lambda rv: len(rv[1]),
         )
         shown.append(best_fail)
-    for (sw, vw, ci), trace, err in shown:
+    for (sw, vw, ci, ly), trace, err in shown:
         lines.append(
             f"\n--- layout walk: size_t={sw} version=u{vw * 8} "
-            f"class_info={ci} ---"
+            f"class_info={ci} layout={ly} ---"
         )
         lines.extend(trace)
         if err is None:

@@ -177,10 +177,11 @@ class TestProbe:
         assert "layout walk CLEAN" in rep
         assert "landmark 'nucl': found at offset" in rep
         assert "landmark newick" in rep
-        # the variant grid names which (size_t, version width, class-info)
-        # combinations parse: the written layout is (8, u32, no preamble)
+        # the variant grid names which (size_t, version width, class-info,
+        # container layout) combinations parse: the written layout is
+        # (8, u32, no preamble, flat counts)
         assert "CLEAN under" in rep
-        assert "(8, 4, False)" in rep
+        assert "(8, 4, False, 'flat')" in rep
 
     def test_probe_reports_deviation(self, tmp_path):
         from epik_tpu.io.ipk_boost import probe_ipk
@@ -314,6 +315,73 @@ class TestHandAuthoredFixtures:
         db = load_ipk(str(p), mu=0.5)
         np.testing.assert_array_equal(db.keys, [6])
         assert db.num_entries == 2
+
+    def _payload_layout(self, size_fmt: str, layout: str) -> bytes:
+        """Hand-packed payload under the round-5 container-layout
+        hypotheses (io/ipk_boost.py::_trace_fields):
+
+        * ``vecver`` -- Boost ``save_collection`` with library_version > 3:
+          a u32 item_version word follows EVERY collection count
+          (collections_save_imp.hpp);
+        * ``umap`` -- the ``std::unordered_map`` convention additionally
+          writes the bucket_count (a second size_t) after the k-mer map's
+          element count (hash_collections_save_imp.hpp)."""
+        import struct
+
+        iv = struct.pack("<I", 0)  # item_version 0 for these value types
+        b = bytearray()
+        b += struct.pack("<I", 4)
+        b += struct.pack(size_fmt, 4) + b"nucl"
+        b += struct.pack(size_fmt, len(self.TREE)) + self.TREE
+        b += struct.pack(size_fmt, 3) + iv
+        b += struct.pack("<Qd", 1, 0.0)
+        b += struct.pack("<Qd", 1, 0.0)
+        b += struct.pack("<Qd", 3, 0.75)
+        b += struct.pack("<Q", 3)
+        b += struct.pack("<f", 1.5)
+        b += struct.pack(size_fmt, len(self.KMERS))
+        if layout == "umap":
+            b += struct.pack(size_fmt, 4)  # bucket_count (load factor ~1)
+        b += iv
+        for key, postings in self.KMERS:
+            b += struct.pack("<Q", key)
+            b += struct.pack(size_fmt, len(postings)) + iv
+            for branch, score in postings:
+                b += struct.pack("<If", branch, score)
+        return bytes(b)
+
+    def _archive_layout(self, size_fmt: str, layout: str) -> bytes:
+        import struct
+
+        sig = b"serialization::archive"
+        return (
+            struct.pack(size_fmt, len(sig)) + sig
+            + struct.pack("<H", 19)
+            + self._payload_layout(size_fmt, layout)
+        )
+
+    def test_probe_identifies_vecver_layout(self, tmp_path):
+        """A file written with per-collection item_version words must be
+        IDENTIFIED by the probe's variant grid (round-5 verdict ask #8:
+        identify, not merely reject)."""
+        from epik_tpu.io.ipk_boost import probe_ipk
+
+        p = tmp_path / "vecver.ipk"
+        p.write_bytes(self._archive_layout("<Q", "vecver"))
+        rep = probe_ipk(str(p))
+        assert "(8, 4, False, 'vecver')" in rep.split("CLEAN under")[1].split("\n")[0]
+        assert "(8, 4, False, 'flat')" not in rep.split("CLEAN under")[1].split("\n")[0]
+
+    def test_probe_identifies_umap_layout(self, tmp_path):
+        """Bucket-count-prefixed hashed-collection files are identified."""
+        from epik_tpu.io.ipk_boost import probe_ipk
+
+        p = tmp_path / "umap.ipk"
+        p.write_bytes(self._archive_layout("<Q", "umap"))
+        rep = probe_ipk(str(p))
+        clean_line = rep.split("CLEAN under")[1].split("\n")[0]
+        assert "'umap'" in clean_line
+        assert "'flat'" not in clean_line
 
     def test_write_ipk_matches_hand_bytes(self, tmp_path):
         """write_ipk must emit exactly the hand-authored 64-bit layout --
