@@ -1080,7 +1080,7 @@ def device_tokenize_combo(buf, combo, *, k: int, Lmax: int, num_kmers: int):
     jax.jit,
     static_argnames=(
         "R", "B", "K", "k", "Lmax", "num_kmers", "PT", "packed",
-        "tile_scale", "tr", "ch", "interpret",
+        "tile_scale", "PT_OV", "OV", "N_OV", "tr", "ch", "interpret",
         # the fused finish kernel bakes these into the Pallas program
         "log_eps", "eps",
     ),
@@ -1089,6 +1089,7 @@ def _place_batch_tiles_bytes(
     tiles,
     direct,
     buf,
+    tiles_ov=None,
     *,
     R: int,
     B: int,
@@ -1101,6 +1102,9 @@ def _place_batch_tiles_bytes(
     eps,
     packed: bool = False,
     tile_scale: float = 1.0,
+    PT_OV: int = 0,
+    OV: int = 0,
+    N_OV: int = 0,
     tr: int = 8,
     ch: int = 512,
     interpret: bool = False,
@@ -1146,28 +1150,55 @@ def _place_batch_tiles_bytes(
     )
     W = rows.shape[1]
     pp = W * PT
-    pp_pad = -(-pp // ch) * ch
     trash = trash_branch(B)
     if packed:
         g = tiles[rows]  # (R, W, PT) i32: one row gather per window
         g = g.reshape(R, pp)
+        cnt_ov = None
+        if PT_OV > 0:
+            # TWO-LEVEL tiles (round 5): the main plane holds only the
+            # first PT postings per key (PT chosen near the length
+            # distribution's p90 instead of the max, so mean-12/max-30
+            # DBs stop dragging ~60% trash cells through the one-hot
+            # kernel -- the measured big-tree wall).  The tail postings
+            # live in a compact overflow plane addressed per WINDOW:
+            # overflow windows are rare, so their rows are COMPACTED to a
+            # static budget OV by top_k; cnt_ov rides home in an extra
+            # result column and the host re-dispatches with a bigger OV
+            # when a read exceeds it (exactness by retry, like the CSR
+            # posting budgets).  Overflow keys occupy tile rows
+            # [0, N_OV) -- a build-time permutation -- so membership is
+            # arithmetic, not a gather; overflow plane row = main row + 1
+            # (row 0 is all-trash).
+            ovr = jnp.where(rows < jnp.int32(N_OV), rows + 1, 0)
+            cnt_ov = jnp.sum((ovr > 0).astype(jnp.int32), axis=1)
+            sel = jax.lax.top_k(ovr, OV)[0]  # (R, OV); 0 -> all-trash row
+            gov = tiles_ov[sel].reshape(R, OV * PT_OV)
+            g = jnp.concatenate([g, gov], axis=1)
+            pp = pp + OV * PT_OV
+        pp_pad = -(-pp // ch) * ch
         g = jnp.pad(g, ((0, 0), (0, pp_pad - pp)),
                     constant_values=np.int32(trash << 16))
         # accumulate + finish fused in one kernel: the slim pack is the
         # only array that ever leaves it (the XLA finish would re-read the
         # (R, B) matrix from HBM several times -- 45 of 61 ms at B=20k)
-        return segment_accumulate_packed_topk(
+        pack = segment_accumulate_packed_topk(
             g, m_f32, B, K, k=k, log_eps=float(log_eps),
             scale=tile_scale, tr=tr, ch=ch, interpret=interpret,
         )
-    else:
-        g = tiles[rows]  # (R, W, 2*PT) u32: one row gather per window
-        g = g.reshape(R, pp, 2)
-        b = g[..., 0].astype(i32)
-        s = jax.lax.bitcast_convert_type(g[..., 1], f32)
-        b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
-        s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
-        Sp = segment_accumulate_sums(b, s, B, tr=tr, ch=ch, interpret=interpret)
+        if cnt_ov is not None:
+            pack = jnp.concatenate(
+                [pack, cnt_ov.astype(f32)[:, None]], axis=1
+            )
+        return pack
+    pp_pad = -(-pp // ch) * ch
+    g = tiles[rows]  # (R, W, 2*PT) u32: one row gather per window
+    g = g.reshape(R, pp, 2)
+    b = g[..., 0].astype(i32)
+    s = jax.lax.bitcast_convert_type(g[..., 1], f32)
+    b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
+    s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
+    Sp = segment_accumulate_sums(b, s, B, tr=tr, ch=ch, interpret=interpret)
     outs = finish_scores_shifted(Sp, m_f32, B=B, K=K, k=k, log_eps=log_eps)
     return _pack_outputs_slim(outs)
 
@@ -1817,6 +1848,12 @@ class JaxPlacer(HostStaging):
         self._dev_tiles_cache = None
         self._dev_direct = None
         self._direct_np = None
+        # two-level tiles (round 5): set by the lazy build when the length
+        # distribution makes a slimmer main plane + overflow plane cheaper
+        self._tile_pt_ov = 0
+        self._tile_n_ov = 0
+        self._tile_frac_over = 0.0
+        self._dev_tiles_ov = None
         # packed tile payload (see PlacerConfig.tile_payload): needs every
         # branch id -- including the kernel's trash column nh*128-1 -- to
         # fit 15 bits so the int32 cell stays non-negative
@@ -2122,6 +2159,63 @@ class JaxPlacer(HostStaging):
                                     > self.config.dense_db_budget):
                                 self._tile_paired = False
                                 n_pairs = 0
+                        # two-level split (round 5): the main plane keeps
+                        # only the first PT_main postings per key with
+                        # PT_main chosen to minimize expected cells per
+                        # window (PT + safety * frac_over * PT_ov); the
+                        # tail lives in a compact overflow plane addressed
+                        # through a per-key overflow-row table.  Skipped in
+                        # the (opt-in) pair-fused mode.
+                        if not self._tile_paired and PT > 8:
+                            max_plen = int(self._max_plen)
+                            best, best_cost = PT, float(PT)
+                            for cand in range(8, PT, 8):
+                                fo = float((lens > cand).mean())
+                                ptov = -(-(max_plen - cand) // 8) * 8
+                                cost = cand + 2.0 * fo * ptov
+                                if cost < best_cost - 0.5:
+                                    best, best_cost = cand, cost
+                            if best < PT and bool((lens > best).any()):
+                                PT = best
+                                self._tile_pt = PT
+                                self._tile_pt_ov = (
+                                    -(-(max_plen - PT) // 8) * 8
+                                )
+                                self._tile_frac_over = float(
+                                    (lens > PT).mean()
+                                )
+                                # overflow keys take tile rows 0..n_ov-1
+                                # (a row PERMUTATION baked into the direct
+                                # table), so "window has overflow" is the
+                                # arithmetic row < n_ov -- no per-window
+                                # overflow-table gather (measured ~3 ms per
+                                # 4096x143 batch)
+                                over = lens > PT
+                                ov_keys = np.flatnonzero(over)
+                                n_ov = ov_keys.shape[0]
+                                self._tile_n_ov = n_ov
+                                perm = np.empty(n, np.int64)
+                                perm[ov_keys] = np.arange(n_ov)
+                                perm[np.flatnonzero(~over)] = np.arange(
+                                    n_ov, n
+                                )
+                                direct = np.full(4**self.k, n, np.int32)
+                                direct[db.keys.astype(np.int64)] = (
+                                    perm.astype(np.int32)
+                                )
+                                self._dev_direct = jnp.asarray(direct)
+                                self._direct_np = direct
+                                ovt = np.full(
+                                    (n_ov + 1, self._tile_pt_ov),
+                                    trash_val, np.int32,
+                                )
+                                ov_sel = cols >= PT
+                                ovt[perm[rows[ov_sel]] + 1,
+                                    cols[ov_sel] - PT] = vals[ov_sel]
+                                self._dev_tiles_ov = jnp.asarray(ovt)
+                                rows = perm[rows[~ov_sel]]
+                                cols = cols[~ov_sel]
+                                vals = vals[~ov_sel]
                         PTW = 2 * PT if self._tile_paired else PT
                         til = np.full((n + 1 + n_pairs, PTW), trash_val,
                                       np.int32)
@@ -2366,17 +2460,21 @@ class JaxPlacer(HostStaging):
             st_c = self._stage_bytes(seqs_c)
             if st_c is None or st_c[0] == "amb_split":  # pragma: no cover
                 return None
-            fn, arrays, m_signed, R_true, K = st_c
+            fn, arrays, m_signed, R_true, K, *retry = st_c
+            budget = (*retry[0], arrays) if retry else None
             pend_c = _Pending({s: sequence_map[s] for s in seqs_c}, seqs_c,
-                              m_signed, fn(*arrays), None, (None, R_true, K))
+                              m_signed, fn(*arrays), budget,
+                              (None, R_true, K))
             pend_a = self._place_async_classic(
                 {s: sequence_map[s] for s in seqs_a}, seqs_a
             )
             return _SplitPending(sequence_map, seqs, idx_c, idx_a,
                                  pend_c, pend_a)
-        fn, arrays, m_signed, R_true, K = staged
+        fn, arrays, m_signed, R_true, K, *retry = staged
+        budget = (*retry[0], arrays) if retry else None
         out = fn(*arrays)
-        return _Pending(sequence_map, seqs, m_signed, out, None, (None, R_true, K))
+        return _Pending(sequence_map, seqs, m_signed, out, budget,
+                        (None, R_true, K))
 
     def _stage_bytes(self, seqs):
         """Stage the device-tokenize fast path: one small uint8 H2D transfer.
@@ -2431,6 +2529,32 @@ class JaxPlacer(HostStaging):
                 arrays = (tiles, self._dev_direct, self._dev_tile_direct11,
                           jnp.asarray(buf))
                 return fn, arrays, m_signed, R_true, K
+            if self._tile_pt_ov > 0:
+                # static overflow-window budget: expected overflow windows
+                # per read x2 safety, bucketed; the step reports the true
+                # per-read count and place_wait retries with a bigger OV
+                # on the (rare) read that exceeds it
+                W = Lmax - self.k + 1
+                OV = min(W, _bucket(
+                    max(8, int(W * self._tile_frac_over * 2.0) + 4), 8))
+
+                def fn_ov(OV_, _W=W):
+                    return functools.partial(
+                        _place_batch_tiles_bytes,
+                        R=R, B=self.B, K=K, k=self.k, Lmax=Lmax,
+                        num_kmers=self.db.num_kmers, PT=self._tile_pt,
+                        log_eps=float(self.log_eps), eps=float(self.eps),
+                        packed=self._tile_packed,
+                        tile_scale=float(self._tile_scale),
+                        PT_OV=self._tile_pt_ov, OV=min(OV_, _W),
+                        N_OV=self._tile_n_ov,
+                        interpret=self._interpret,
+                    )
+
+                arrays = (tiles, self._dev_direct, jnp.asarray(buf),
+                          self._dev_tiles_ov)
+                return fn_ov(OV), arrays, m_signed, R_true, K, (
+                    "tiles_ov", OV, fn_ov)
             fn = functools.partial(
                 _place_batch_tiles_bytes,
                 R=R, B=self.B, K=K, k=self.k, Lmax=Lmax,
@@ -2595,6 +2719,29 @@ class JaxPlacer(HostStaging):
             return PlacedCollection(sequence_map=pending.sequence_map, placed_seqs=[])
         cfg = self.config
         inputs, R, K = pending.redo
+        if pending.budgets is not None and pending.budgets[0] == "tiles_ov":
+            # two-level tiles: the last result column carries each read's
+            # true overflow-window count; a read above the static OV
+            # budget re-dispatches the SAME staged arrays with a bigger
+            # budget (exactness by retry, like the CSR posting budgets)
+            _, OV, fn_ov, arrays = pending.budgets
+            out = pending.out
+            while True:
+                arr = np.asarray(out)
+                ovmax = int(arr[:, -1].max()) if arr.shape[0] else 0
+                if ovmax <= OV:
+                    break
+                self.overflow_retries += 1
+                OV = _bucket(ovmax, 8)  # fn_ov clamps to the window count
+                out = fn_ov(OV)(*arrays)
+            (scores_k, idx_k, counts_k, wr_k, n_touched, zero_sum, _, _) = (
+                unpack_outputs_slim(arr[:, :-1], K)
+            )
+            return self._assemble(
+                pending.seqs, pending.sequence_map, pending.m_signed,
+                scores_k[:R], idx_k[:R], counts_k[:R], wr_k[:R],
+                n_touched[:R], zero_sum[:R], K,
+            )
         if pending.budgets is None:  # dense-DB mode: no overflow retries
             arr = np.asarray(pending.out)
             # shifted paths ship the slim (R, 2K+3) pack; classic the

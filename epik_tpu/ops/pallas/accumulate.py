@@ -239,26 +239,77 @@ def _kernel_packed_topk(p_ref, m_ref, out_ref, acc_ref, *, nh: int, B: int,
         zero_sum = (max_c < f32(_POW10_ZERO)) & (
             (npl_exp < f32(_POW10_ZERO)) | (n_not <= 0)
         )
-        # ---- top-K: K rounds of (max, first-argmax, mask) --------------------
+        # ---- top-K ------------------------------------------------------------
         # ties pick the lowest branch index (lax.top_k semantics); rows with
         # fewer than K touched branches repeat -inf rows, which the host
         # drops via n_eff = min(n, K) (assemble_arrays)
-        x = corrected
+        #
+        # FAST PATH (round 5): the K x ~4-VPU-pass loop over the full
+        # (tr, bw) block was ~half the kernel (finish ~20 of 39 ms at
+        # B=20k).  Candidates = per-LANE top-2 (7 passes over bw), then K
+        # cheap rounds over the (tr, 2*128) candidate matrix.  Exactness
+        # is DETECTED, not assumed: the fast result is valid iff exactly K
+        # elements are >= the K-th candidate value and the row touches
+        # >= K branches -- any lane holding 3+ of the top-K, any hidden
+        # boundary tie, and any short row flips to the full loop
+        # (measured on the 10k-taxa fixture: 98.4% of 8-read blocks
+        # clean; per-read fallback 0.2%).
         out_col = jax.lax.broadcasted_iota(i32, (tr, 128), 1)
+        x3 = corrected.reshape(tr, nh, NH_LANES)
+        hi_iota = jax.lax.broadcasted_iota(i32, (tr, nh, NH_LANES), 1)
+        lane_iota = jax.lax.broadcasted_iota(i32, (tr, nh, NH_LANES), 2)
+        g3 = hi_iota * i32(NH_LANES) + lane_iota  # global branch index
+        # per-lane top-1 (value + lowest-hi argmax), then mask and repeat
+        m1 = jnp.max(x3, axis=1)  # (tr, 128)
+        a1 = jnp.min(jnp.where(x3 == m1[:, None, :], g3, i32(bw)), axis=1)
+        x3m = jnp.where(g3 == a1[:, None, :], neg_inf, x3)
+        m2 = jnp.max(x3m, axis=1)
+        a2 = jnp.min(jnp.where(x3m == m2[:, None, :], g3, i32(bw)), axis=1)
+        cv = jnp.concatenate([m1, m2], axis=1)  # (tr, 256) candidate values
+        cg = jnp.concatenate([jnp.minimum(a1, i32(bw - 1)),
+                              jnp.minimum(a2, i32(bw - 1))], axis=1)
         res = jnp.zeros((tr, 128), f32)
+        kth = jnp.full((tr, 1), neg_inf, f32)
         for kk in range(K):
-            mx = jnp.max(x, axis=1, keepdims=True)
-            am = jnp.min(
-                jnp.where(x == mx, lane, i32(bw)), axis=1, keepdims=True
-            )
+            mx = jnp.max(cv, axis=1, keepdims=True)
+            am = jnp.min(jnp.where(cv == mx, cg, i32(bw)), axis=1,
+                         keepdims=True)
             am = jnp.minimum(am, i32(bw - 1))
             res = jnp.where(out_col == kk, mx, res)
             res = jnp.where(out_col == K + kk, am.astype(f32), res)
-            x = jnp.where(lane == am, neg_inf, x)
+            cv = jnp.where(cg == am, neg_inf, cv)
+            if kk == K - 1:
+                kth = mx
         res = jnp.where(out_col == 2 * K, log_sum, res)
         res = jnp.where(out_col == 2 * K + 1, n, res)
         res = jnp.where(out_col == 2 * K + 2, zero_sum.astype(f32), res)
-        out_ref[:] = res
+        # validity: exactly K elements >= kth (no lane hid a 3rd member or
+        # a boundary tie) and the row touches >= K branches
+        cnt = jnp.sum((corrected >= kth).astype(f32), axis=1, keepdims=True)
+        row_ok = (cnt == f32(K)) & (n >= f32(K))
+        fast_ok = jnp.all(row_ok)
+
+        @pl.when(fast_ok)
+        def _():
+            out_ref[:] = res
+
+        @pl.when(jnp.logical_not(fast_ok))
+        def _():
+            x = corrected
+            r2 = jnp.zeros((tr, 128), f32)
+            for kk in range(K):
+                mx = jnp.max(x, axis=1, keepdims=True)
+                am = jnp.min(
+                    jnp.where(x == mx, lane, i32(bw)), axis=1, keepdims=True
+                )
+                am = jnp.minimum(am, i32(bw - 1))
+                r2 = jnp.where(out_col == kk, mx, r2)
+                r2 = jnp.where(out_col == K + kk, am.astype(f32), r2)
+                x = jnp.where(lane == am, neg_inf, x)
+            r2 = jnp.where(out_col == 2 * K, log_sum, r2)
+            r2 = jnp.where(out_col == 2 * K + 1, n, r2)
+            r2 = jnp.where(out_col == 2 * K + 2, zero_sum.astype(f32), r2)
+            out_ref[:] = r2
 
 
 @functools.partial(

@@ -135,7 +135,9 @@ def main(argv=None) -> int:
     amb_db = random_db(num_leaves=64, kmer_size=6, num_kmers=12000, seed=88,
                        sequence_type="amino")
     amb_tree = parse_newick(amb_db.tree())
-    amb_reads = _mixed_case_reads(amb_db, n=100)
+    # >= 300 reads: match the nucl mixed slice's weight (round-5 verdict
+    # ask #3 -- the amino slice was 95 reads vs 295 for nucl in r04)
+    amb_reads = _mixed_case_reads(amb_db, n=300)
     amb_nwk = to_newick(amb_tree, jplace_edges=True)
     amb_engines = [
         ("oracle", ReferencePlacer(amb_db, amb_tree)),

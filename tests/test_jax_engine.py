@@ -947,8 +947,51 @@ class TestTilesPath:
     def test_matches_oracle(self):
         db, tree, reads = self._fixture()
         p = self._placer(db, tree)
+        # the round-5 two-level split engages on this length distribution
+        out = p.place(reads)
+        assert p._tile_pt_ov > 0, (p._tile_pt, p._tile_pt_ov)
         out_ref = ReferencePlacer(db, tree).place(reads)
-        assert_jplace_close(out_ref, p.place(reads))
+        assert_jplace_close(out_ref, out)
+
+    def test_two_level_overflow_retry(self):
+        """A read whose windows hit overflow keys far beyond the static OV
+        budget must be caught by the reported per-read count, re-dispatched
+        with a bigger budget, and still match the oracle (round-5
+        two-level tiles; exactness-by-retry like the CSR posting
+        budgets)."""
+        from epik_tpu.core.alphabet import DNA
+        from epik_tpu.io.build import build_db
+
+        rng = np.random.default_rng(201)
+        k = 6
+        hot = "".join("ACGT"[i] for i in rng.integers(0, 4, 80))
+        entries = {}
+        for w in range(len(hot) - k + 1):
+            # 17 postings: len > any plausible PT_main, forcing overflow
+            # scores above log10(eps) ~= -2.56 (the shift_ok load contract)
+            entries.setdefault(hot[w : w + k], [
+                (int(b), float(s)) for b, s in zip(
+                    rng.permutation(60)[:17],
+                    rng.uniform(-2.4, -0.5, 17))
+            ])
+        filler = set()
+        while len(filler) < 2000:
+            filler.add(DNA.decode_key(int(rng.integers(0, 4**k)), k))
+        for f in filler:
+            if f not in entries:
+                entries[f] = [(int(rng.integers(0, 60)), -1.0)]
+        nwk = "(" + ",".join(f"L{i}:0.1" for i in range(60)) + ");"
+        db = build_db(entries, nwk, kmer_size=k)
+        tree = parse_newick(db.tree())
+        p = self._placer(db, tree)
+        reads = [("hot", hot.encode()),
+                 ("cold", DNA.decode_key(3, k).encode() * 10)]
+        out = p.place(reads)
+        assert p._tile_pt_ov > 0
+        assert p.overflow_retries > 0, (
+            "hot read failed to exceed the OV budget",
+            p._tile_pt, p._tile_pt_ov)
+        assert_jplace_close(ReferencePlacer(db, tree).place(reads), out)
 
     def test_amb_batch_splits_tiles_plus_csr(self):
         """A batch containing ambiguous reads SPLITS: clean reads stay on

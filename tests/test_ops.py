@@ -185,3 +185,66 @@ class TestPackedAccumulate:
         np.testing.assert_allclose(got[:, 2 * K], want[:, 2 * K], rtol=1e-5)
         np.testing.assert_array_equal(got[:, 2 * K + 1], want[:, 2 * K + 1])
         np.testing.assert_array_equal(got[:, 2 * K + 2], want[:, 2 * K + 2])
+
+    def test_fused_topk_fast_path_fallback_cases(self):
+        """The round-5 fast finish (per-lane top-2 candidates) must DETECT
+        and fall back on exactly the cases it cannot represent: a lane
+        holding 3+ of the top-K, and a hidden tie at the K-th boundary.
+        Engineered blocks for each case (plus a clean one) vs the XLA
+        finish."""
+        import numpy as np
+
+        from epik_tpu.engine.placer import (
+            _pack_outputs_slim,
+            finish_scores_shifted,
+        )
+        from epik_tpu.ops.pallas.accumulate import (
+            segment_accumulate_packed,
+            segment_accumulate_packed_topk,
+            trash_branch,
+        )
+
+        R, PP, B, K, k = 24, 512, 300, 7, 10
+        log_eps, scale = -4.26, 15023.0
+        trash = trash_branch(B)
+        g = np.full((R, PP), np.int32(trash << 16), np.int32)
+        rng = np.random.default_rng(9)
+
+        def put(r, pairs):
+            for j, (br, q) in enumerate(pairs):
+                g[r, j] = (br << 16) | q
+
+        # block 0 (rows 0-7): lane collision -- branches 5, 133, 261 all
+        # sit in lane 5; give them the three largest sums
+        put(0, [(5, 60000), (133, 59000), (261, 58000)]
+               + [(i * 3 + 7, 1000 + i) for i in range(8)])
+        # block 1 (rows 8-15): exact tie at the K-th boundary between a
+        # candidate and a same-lane hidden second (branches 10 and 138)
+        put(8, [(10, 5000), (138, 5000)]
+               + [(20 + i, 50000 - 100 * i) for i in range(6)])
+        # block 2 (rows 16-23): clean spread (distinct lanes)
+        put(16, [(i * 5 + 2, 40000 - 500 * i) for i in range(12)])
+        for r in list(range(1, 8)) + list(range(9, 16)) + list(range(17, 24)):
+            put(r, [(int(x), int(y)) for x, y in zip(
+                rng.integers(0, B, 10), rng.integers(1, 64001, 10))])
+
+        m = np.full(R, 141.0, np.float32)
+        got = np.asarray(segment_accumulate_packed_topk(
+            g, m, B, K, k=k, log_eps=log_eps, scale=scale,
+            tr=8, ch=512, interpret=True,
+        ))
+        Sq = np.asarray(
+            segment_accumulate_packed(g, B, tr=8, ch=512, interpret=True)
+        )
+        import jax.numpy as jnp
+
+        outs = finish_scores_shifted(
+            jnp.asarray(Sq / np.float32(scale)), jnp.asarray(m),
+            B=B, K=K, k=k, log_eps=log_eps,
+        )
+        want = np.asarray(_pack_outputs_slim(outs))
+        np.testing.assert_allclose(got[:, :K], want[:, :K], rtol=1e-5,
+                                   atol=1e-5)
+        live = np.isfinite(want[:, :K])
+        np.testing.assert_array_equal(got[:, K:2 * K][live],
+                                      want[:, K:2 * K][live])
