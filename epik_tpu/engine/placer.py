@@ -2511,6 +2511,13 @@ class JaxPlacer(HostStaging):
         # touching a non-exact character)
         buf, amb_mask = self._pack_reads_fast(seqs, lens_arr, Lmax, R)
         if self._tiles_mode:
+            # packed-tile exactness gate: per-(read, branch) integer sums
+            # are bounded by W * 64000 and must stay < 2**24 for the f32
+            # accumulator (and the acc_h*256+acc_l recombination) to be
+            # exact -- long reads (W > ~262) fall back to the classic CSR
+            # path, whose f32 accumulation matches the oracle's
+            if self._tile_packed and (Lmax - self.k + 1) * 64000 >= (1 << 24):
+                return None
             if amb_mask.any():
                 # rare: the caller splits the batch -- clean reads stay on
                 # the tiles path, ambiguous reads take the classic CSR path

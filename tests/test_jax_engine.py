@@ -953,6 +953,23 @@ class TestTilesPath:
         out_ref = ReferencePlacer(db, tree).place(reads)
         assert_jplace_close(out_ref, out)
 
+    def test_long_reads_leave_packed_tiles(self):
+        """W * 64000 >= 2**24 (reads beyond ~270 bp + k) would make the
+        packed kernel's integer sums inexact; such batches must take the
+        classic CSR fallback and still match the oracle."""
+        from epik_tpu.io.build import reads_from_reference, reference_like_db
+
+        db, ref = reference_like_db(num_leaves=48, kmer_size=10,
+                                    ref_length=20_000, mean_posting_len=6.0,
+                                    seed=75)
+        tree = parse_newick(db.tree())
+        p = self._placer(db, tree)
+        long_reads = reads_from_reference(ref, 4, length=400,
+                                          mutation_rate=0.05, seed=76)
+        assert p._stage_bytes([s for _, s in long_reads]) is None
+        out = p.place(long_reads)
+        assert_jplace_close(ReferencePlacer(db, tree).place(long_reads), out)
+
     def test_two_level_overflow_retry(self):
         """A read whose windows hit overflow keys far beyond the static OV
         budget must be caught by the reported per-read count, re-dispatched
