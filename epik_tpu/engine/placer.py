@@ -1829,8 +1829,12 @@ class JaxPlacer(HostStaging):
         # posting-TILE mode: the big-tree fast path when the dense plane
         # does NOT fit (see _place_batch_tiles_bytes).  Requires the matmul
         # accumulate (MXU kernel), shifted-valid scores, and a bounded max
-        # posting length (tiles are (n_keys+1, 2*PT); a hot k-mer with a
-        # huge posting list would blow the tile width -- fall back to CSR).
+        # posting length (a hot k-mer with a huge posting list would blow
+        # the tile width -- fall back to CSR).  Round 5: the cap rose from
+        # 64 to 128 -- the two-level split keeps the MAIN plane at the
+        # length-distribution knee regardless of the max, and the sharded
+        # CSR fallback measured ~2 orders below dense/tiles on TPU
+        # (BASELINE.md config 5), so tiles should take every DB they can.
         self._tile_pt = -(-max(self._max_plen, 1) // 8) * 8
         tiles_bytes = (n_keys + 1) * self._tile_pt * 8
         self._tiles_mode = (
@@ -1842,7 +1846,7 @@ class JaxPlacer(HostStaging):
             and self.k <= 13
             and self._shift_ok
             and n_keys > 0
-            and self._max_plen <= 64
+            and self._max_plen <= 128
             and tiles_bytes <= self.config.dense_db_budget
         )
         self._dev_tiles_cache = None

@@ -60,6 +60,7 @@ from ..engine.placer import (
     _pack_outputs_slim_totals,
     accumulate_amb_firsthit,
     accumulate_exact,
+    accumulate_exact_dense,
     assemble_arrays,
     dense_amb_from_rows,
     dense_sums_from_rows,
@@ -596,13 +597,15 @@ def _sharded_dense_rows_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "R", "B", "K", "Pb", "PAb", "k", "log_eps", "eps"),
+    static_argnames=("mesh", "R", "B", "K", "Pb", "PAb", "k", "log_eps",
+                     "eps", "dense_acc", "interpret"),
 )
 def _sharded_csr_step(
     seed1, seed2, t_packed, db_post, row_off,
     e_hi, e_lo, e_read, a_hi, a_lo, a_read, a_order, m_f32, *,
     mesh, R: int, B: int, K: int, Pb: int, PAb: int, k: int,
-    log_eps: float, eps: float,
+    log_eps: float, eps: float, dense_acc: bool = False,
+    interpret: bool = False,
 ):
     """Hash-sharded CSR step (big-DB mode): per-shard posting scatter-adds
     merged with psum over the model axis; ambiguous first-hit merged with
@@ -613,10 +616,21 @@ def _sharded_csr_step(
         table = t_packed[0]
         s1 = seed1[0, 0]
         s2 = seed2[0, 0]
-        S, C, e_total = accumulate_exact(
-            table, db_post[0], row_off[0], e_hi[0], e_lo[0], e_read[0],
-            R=R, B=B, P=Pb, seed1=s1, seed2=s2,
-        )
+        # dense_acc: the Pallas one-hot MXU accumulate over per-read
+        # expanded tiles (duplicate-index scatter serializes on TPU --
+        # measured 3.0k vs 61-132k reads/s for the other sharded modes at
+        # mesh 1x1); Pb is then a PER-READ posting budget and e_total the
+        # max per-read count (engine/placer.py::accumulate_exact_dense)
+        if dense_acc:
+            S, C, e_total = accumulate_exact_dense(
+                table, db_post[0], row_off[0], e_hi[0], e_lo[0], e_read[0],
+                R=R, B=B, PP=Pb, seed1=s1, seed2=s2, interpret=interpret,
+            )
+        else:
+            S, C, e_total = accumulate_exact(
+                table, db_post[0], row_off[0], e_hi[0], e_lo[0], e_read[0],
+                R=R, B=B, P=Pb, seed1=s1, seed2=s2,
+            )
         first, V, a_total = accumulate_amb_firsthit(
             table, db_post[0], row_off[0], a_hi[0], a_lo[0], a_read[0], a_order[0],
             R=R, B=B, PA=PAb, k=k, seed1=s1, seed2=s2, eps=eps,
@@ -654,12 +668,13 @@ def _sharded_csr_step(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "R", "B", "K", "Pb", "k", "Lmax", "log_eps",
-                     "eps"),
+                     "eps", "dense_acc", "interpret"),
 )
 def _sharded_csr_bytes_step(
     seed1, seed2, t_packed, db_post, row_off, buf, *,
     mesh, R: int, B: int, K: int, Pb: int, k: int, Lmax: int,
-    log_eps: float, eps: float,
+    log_eps: float, eps: float, dense_acc: bool = False,
+    interpret: bool = False,
 ):
     """Hash-sharded CSR step with ON-DEVICE tokenization (round 5).
 
@@ -685,10 +700,16 @@ def _sharded_csr_bytes_step(
         e_hi = jnp.where(ok, u32(0), u32(0xFFFFFFFF)).reshape(-1)
         e_lo = jnp.where(ok, key, u32(0xFFFFFFFF)).reshape(-1)
         e_read = jax.lax.broadcasted_iota(i32, (R, W), 0).reshape(-1)
-        S, C, e_total = accumulate_exact(
-            table, db_post[0], row_off[0], e_hi, e_lo, e_read,
-            R=R, B=B, P=Pb, seed1=s1, seed2=s2,
-        )
+        if dense_acc:
+            S, C, e_total = accumulate_exact_dense(
+                table, db_post[0], row_off[0], e_hi, e_lo, e_read,
+                R=R, B=B, PP=Pb, seed1=s1, seed2=s2, interpret=interpret,
+            )
+        else:
+            S, C, e_total = accumulate_exact(
+                table, db_post[0], row_off[0], e_hi, e_lo, e_read,
+                R=R, B=B, P=Pb, seed1=s1, seed2=s2,
+            )
         S = jax.lax.psum(S, MODEL_AXIS)
         C = jax.lax.psum(C, MODEL_AXIS)
         m_signed = lens - i32(k - 1)
@@ -875,6 +896,11 @@ class ShardedJaxPlacer(HostStaging):
             dense_acc = cfg.accumulate == "matmul" or (
                 cfg.accumulate == "auto" and backend == "tpu"
             )
+            # the CSR steps also use the MXU accumulate on TPU
+            # (duplicate-index scatter serializes there: measured 3.0k vs
+            # 61-132k reads/s at mesh 1x1); CPU keeps the XLA scatter,
+            # which is fast off-TPU and avoids interpret-mode kernels
+            self._csr_dense_acc = dense_acc
             if (
                 dense_acc
                 and cfg.tokenize_where in ("auto", "device")
@@ -883,7 +909,7 @@ class ShardedJaxPlacer(HostStaging):
                 and self.k <= 13
                 and shift_ok
                 and db.num_kmers > 0
-                and 0 < max_plen <= 64
+                and 0 < max_plen <= 128
             ):
                 tiles, bwl_t, PT, t_scale = shard_tiles_columns(
                     db, self.n_model, self.B, float(self.log_eps)
@@ -1072,10 +1098,18 @@ class ShardedJaxPlacer(HostStaging):
                     W = Lmax - self.k + 1
                     est = max(1, int(self._sdb.avg_plen
                                      * cfg.budget_headroom))
-                    Pb = _bucket(
-                        max(1, R_loc * W * est // max(1, self.n_model)),
-                        cfg.min_bucket,
-                    )
+                    if self._csr_dense_acc:
+                        # PER-READ posting budget (the dense accumulate's
+                        # tile width), 512-multiple for the kernel grid
+                        Pb = _bucket(
+                            max(512, W * est // max(1, self.n_model)),
+                            max(cfg.min_bucket, 512),
+                        )
+                    else:
+                        Pb = _bucket(
+                            max(1, R_loc * W * est // max(1, self.n_model)),
+                            cfg.min_bucket,
+                        )
                     inputs = (
                         jnp.asarray(self._seed1), jnp.asarray(self._seed2),
                         self._dev_packed, self._dev_postings,
@@ -1085,6 +1119,8 @@ class ShardedJaxPlacer(HostStaging):
                         *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K,
                         Pb=Pb, k=self.k, Lmax=Lmax,
                         log_eps=float(self.log_eps), eps=float(self.eps),
+                        dense_acc=self._csr_dense_acc,
+                        interpret=self._interpret,
                     )
                     m_signed = lens_arr - self.k + 1
                     return _Pending(
@@ -1102,7 +1138,17 @@ class ShardedJaxPlacer(HostStaging):
         A = _bucket(max(t.amb_keys.shape[0] for t in toks), cfg.min_bucket)
         est = max(1, int(self._sdb.avg_plen * cfg.budget_headroom))
         # each model shard owns ~1/n_model of the postings
-        Pb = _bucket(max(1, E * est // max(1, self.n_model)), cfg.min_bucket)
+        if self._csr_dense_acc:
+            wpr = max(
+                (int(np.bincount(t.exact_read).max())
+                 if t.exact_read.size else 1)
+                for t in toks
+            )
+            Pb = _bucket(max(512, wpr * est // max(1, self.n_model)),
+                         max(cfg.min_bucket, 512))
+        else:
+            Pb = _bucket(max(1, E * est // max(1, self.n_model)),
+                         cfg.min_bucket)
         PAb = _bucket(max(1, A * est // max(1, self.n_model)), cfg.min_bucket)
 
         def pad_group(t):
@@ -1131,6 +1177,7 @@ class ShardedJaxPlacer(HostStaging):
         out = _sharded_csr_step(
             *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K, Pb=Pb, PAb=PAb,
             k=self.k, log_eps=float(self.log_eps), eps=float(self.eps),
+            dense_acc=self._csr_dense_acc, interpret=self._interpret,
         )
         return _Pending(
             sequence_map, seqs, m_signed, out, (Pb, PAb), (inputs, R_true, K)
@@ -1196,12 +1243,15 @@ class ShardedJaxPlacer(HostStaging):
                     *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K,
                     Pb=Pb, k=self.k, Lmax=kind[1],
                     log_eps=float(self.log_eps), eps=float(self.eps),
+                    dense_acc=self._csr_dense_acc,
+                    interpret=self._interpret,
                 )
             else:
                 out = _sharded_csr_step(
                     *inputs, mesh=self.mesh, R=R_loc, B=self.B, K=K, Pb=Pb,
                     PAb=PAb, k=self.k, log_eps=float(self.log_eps),
-                    eps=float(self.eps),
+                    eps=float(self.eps), dense_acc=self._csr_dense_acc,
+                    interpret=self._interpret,
                 )
         flat = arr[:, :-1, :].reshape(self.n_data * R_loc, -1)[:R_true]
         return self._assemble_flat(pending, flat, K)

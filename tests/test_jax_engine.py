@@ -1097,17 +1097,50 @@ class TestTilesPath:
                 dense_db="off", accumulate="matmul", tile_payload="packed"))
 
     def test_hot_kmer_disables_tiles(self):
-        """max posting length > 64 falls back (tile width would blow up)."""
+        """max posting length > 128 falls back (tile width would blow up;
+        round 5 raised the cap from 64 -- the two-level split keeps the
+        main plane slim regardless of the max), while a 64 < max <= 128 DB
+        now TAKES the tiles path and still matches the oracle."""
         from epik_tpu.engine.placer import PlacerConfig
         from epik_tpu.io.build import random_db
 
         db = random_db(num_leaves=80, kmer_size=8, num_kmers=512,
                        mean_posting_len=60.0, seed=74)
-        assert int(np.diff(db.row_off).max()) > 64
+        max_plen = int(np.diff(db.row_off).max())
+        assert 64 < max_plen <= 128
         tree = parse_newick(db.tree())
         p = JaxPlacer(db, tree,
                       config=PlacerConfig(dense_db="off", accumulate="matmul"))
-        assert not p._tiles_mode
+        assert p._tiles_mode
+        reads = random_reads(20, length=40, seed=75)
+        out = p.place(reads)
+        assert p._tile_pt_ov > 0  # heavy tail engages the two-level split
+        assert_jplace_close(ReferencePlacer(db, tree).place(reads), out)
+
+        lens = np.diff(db.row_off)
+        hot = np.argmax(lens)
+        import dataclasses
+        extra = 130 - int(lens[hot])
+        rng = np.random.default_rng(76)
+        B = tree.get_node_count()
+        ins = int(db.row_off[hot + 1])
+        db2 = dataclasses.replace(
+            db,
+            row_off=np.concatenate(
+                [db.row_off[: hot + 1], db.row_off[hot + 1 :] + extra]
+            ),
+            branches=np.insert(db.branches, ins,
+                               rng.permutation(B)[:extra].astype(np.uint32)),
+            scores=np.insert(db.scores, ins,
+                             np.full(extra, -1.0, np.float32)),
+            num_entries_total=db.num_entries_total + extra,
+            num_entries_loaded=db.num_entries_loaded + extra,
+        )
+        assert int(np.diff(db2.row_off).max()) > 128
+        p2 = JaxPlacer(db2, tree,
+                       config=PlacerConfig(dense_db="off",
+                                           accumulate="matmul"))
+        assert not p2._tiles_mode
 
 
 class TestClassicPlane:

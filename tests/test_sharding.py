@@ -88,6 +88,28 @@ def test_mesh_shapes_match_oracle(db, reads, n_data, n_model):
     assert_equivalent(ref.place(reads), sharded.place(reads))
 
 
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (1, 8)])
+def test_csr_dense_accumulate_matches_oracle(db, reads, n_data, n_model):
+    """The round-5 CSR MXU-accumulate variant (accumulate_exact_dense in
+    the sharded CSR blocks; TPU's replacement for the serializing
+    duplicate-index scatter) must match the oracle.  Forced on CPU via
+    accumulate='matmul' with host tokenize (keeps tiles mode off) --
+    interpret-mode Pallas."""
+    from epik_tpu.engine.placer import PlacerConfig
+
+    tree = parse_newick(db.tree())
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    sharded = ShardedJaxPlacer(
+        db, tree, mesh,
+        config=PlacerConfig(dense_db="off", accumulate="matmul",
+                            tokenize_where="host"),
+    )
+    assert not sharded._dense_db and not sharded._tiles_mode
+    assert sharded._csr_dense_acc
+    ref = ReferencePlacer(db, tree)
+    assert_equivalent(ref.place(reads), sharded.place(reads))
+
+
 def test_fewer_reads_than_shards(db):
     tree = parse_newick(db.tree())
     mesh = make_mesh(n_data=8, n_model=1)
