@@ -1477,20 +1477,25 @@ def _pack_outputs(outs, e_total, a_total):
         ],
         axis=1,
     )
-    width = body.shape[1]
-    # totals split into 20-bit halves: a single f32 rounds above 2**24 and
-    # could round a true overflow down to exactly the budget, silently
-    # skipping the retry
+    return jnp.concatenate([body, _totals_row(body.shape[1], e_total,
+                                              a_total)], axis=0)
+
+
+def _totals_row(width: int, e_total, a_total):
+    """(1, width) f32 budget-totals row.  Totals split into 20-bit halves:
+    a single f32 rounds above 2**24 and could round a true overflow down
+    to exactly the budget, silently skipping the retry.  Host decoder:
+    unpack_outputs / parallel/sharding.py place_wait."""
+    f32 = jnp.float32
     e_t = e_total.astype(jnp.int32)
     a_t = a_total.astype(jnp.int32)
-    totals = (
+    return (
         jnp.zeros((1, width), f32)
         .at[0, 0].set((e_t >> 20).astype(f32))
         .at[0, 1].set((e_t & 0xFFFFF).astype(f32))
         .at[0, 2].set((a_t >> 20).astype(f32))
         .at[0, 3].set((a_t & 0xFFFFF).astype(f32))
     )
-    return jnp.concatenate([body, totals], axis=0)
 
 
 def unpack_outputs(arr: np.ndarray, K: int):
@@ -1537,22 +1542,12 @@ def _pack_outputs_slim_totals(outs, e_total, a_total):
     """Slim pack plus the budget-overflow totals row: (R+1, 2K+3).
 
     The sharded CSR step needs the e/a totals for its overflow-retry
-    protocol (same 20-bit-halves encoding as :func:`_pack_outputs`) but
-    has no reason to ship the full 4K+2 pack -- counts are not part of
-    the jplace format and wr is a pure function of (scores, log_sum)."""
+    protocol (shared :func:`_totals_row` encoding) but has no reason to
+    ship the full 4K+2 pack -- counts are not part of the jplace format
+    and wr is a pure function of (scores, log_sum)."""
     body = _pack_outputs_slim(outs)
-    width = body.shape[1]
-    f32 = jnp.float32
-    e_t = e_total.astype(jnp.int32)
-    a_t = a_total.astype(jnp.int32)
-    totals = (
-        jnp.zeros((1, width), f32)
-        .at[0, 0].set((e_t >> 20).astype(f32))
-        .at[0, 1].set((e_t & 0xFFFFF).astype(f32))
-        .at[0, 2].set((a_t >> 20).astype(f32))
-        .at[0, 3].set((a_t & 0xFFFFF).astype(f32))
-    )
-    return jnp.concatenate([body, totals], axis=0)
+    return jnp.concatenate(
+        [body, _totals_row(body.shape[1], e_total, a_total)], axis=0)
 
 
 def unpack_outputs_slim(arr: np.ndarray, K: int):

@@ -84,6 +84,16 @@ def load_native(build_if_missing: bool = True):
         if path is None:
             return None
         lib = ctypes.CDLL(path)
+        # stale pre-built library from an older revision: rebuild once if
+        # allowed; otherwise reject it so callers fall back to Python
+        # rather than crash on a missing symbol
+        if not hasattr(lib, "eh_place_scalar_mt"):
+            path = _build() if build_if_missing else None
+            if path is None:
+                return None
+            lib = ctypes.CDLL(path)
+            if not hasattr(lib, "eh_place_scalar_mt"):
+                return None
         _declare(lib)
         _lib = lib
         return _lib

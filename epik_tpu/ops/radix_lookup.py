@@ -129,12 +129,17 @@ def build_radix(keys: np.ndarray, key_bits: int, max_table_bits: int = 24,
     idx = RadixIndex(off=off, low=low, shift=shift, max_bucket=max_bucket)
     # low-pair-overlap variant (see RadixIndex.v1): 2 gather passes, first
     # table capped at 2**24 buckets (64 MB, under the measured v5e
-    # table-size cliff), second the tiny overlapping-triple array.
-    s_tb = min(24, key_bits)
+    # table-size cliff), second the tiny overlapping-triple array.  The
+    # bucket table scales with the key count (~32 buckets/key like the
+    # generic form) down to the key_bits - 11 floor the lp word packing
+    # needs -- a 5k-key DB gets a 128 KB v1, not a fixed 64 MB one.
+    s_tb = max(key_bits - 11,
+               min(24, key_bits, (32 * max(n, 1) - 1).bit_length()))
     s = key_bits - s_tb
     nb = max(1, int(n).bit_length())
     b3 = max(0, 3 * s - 31)  # third-low bits that spill into v1
-    if allow_split and n and s <= 11 and nb + 2 + b3 <= 31:
+    if (allow_split and n and s_tb <= 24 and 0 <= s <= 11
+            and nb + 2 + b3 <= 31):
         s_buckets = (keys >> np.uint64(s)).astype(np.int64)
         s_counts = np.bincount(s_buckets, minlength=(1 << s_tb))
         if int(s_counts.max()) <= 3:

@@ -973,6 +973,12 @@ class ShardedJaxPlacer(HostStaging):
         if not (self.k <= Lmax_true <= 0xFFFF):
             return None
         Lmax = _bucket_lmax(Lmax_true)
+        # packed-tile exactness gate (same as the single-chip engine,
+        # engine/placer.py::_stage_bytes): per-(read, branch) integer sums
+        # are bounded by W * 64000 and must stay < 2**24 for the f32
+        # accumulator to be exact -- long reads take the CSR fallback
+        if self._tile_scale > 0.0 and (Lmax - self.k + 1) * 64000 >= (1 << 24):
+            return None
         flat = np.frombuffer(b"".join(seqs), np.uint8)
         starts = np.concatenate([[0], np.cumsum(lens_arr)])
         mat = np.zeros((R_tot, Lmax), np.uint8)

@@ -42,7 +42,7 @@ def main() -> None:
         finish_scores_shifted,
     )
     from ..io.build import reads_from_reference, reference_like_db
-    from ..ops.radix_lookup import radix_lookup
+    from ..ops.radix_lookup import radix_lookup_dispatch
 
     log(f"backend: {jax.default_backend()}")
     db, ref = reference_like_db(num_leaves=652, kmer_size=8,
@@ -56,8 +56,10 @@ def main() -> None:
     cfg = PlacerConfig(host_threads=max(2, os.cpu_count() or 2))
     p = JaxPlacer(db, tree, config=cfg)
     assert p._fast_codes
-    n_probe = p._radix.max_bucket
-    shift = p._radix.shift
+    # statics matching whatever representation device_arrays() returned
+    # (round 5: the low-pair form for amino k=8; dispatch_args keeps this
+    # tool in sync with the production lookup)
+    shift, n_probe, off_bits = p._radix.dispatch_args()
     N = db.num_kmers
     log(f"radix: shift={shift} n_probe={n_probe} keys={N} B={p.B}")
 
@@ -103,8 +105,9 @@ def main() -> None:
     def tok_lookup(buf, off, low):
         a, b, ok, lens = device_tokenize_codes(buf, k=k, sigma=sigma,
                                                Lmax=Lmax)
-        rows = radix_lookup(off, low, a, b, shift=shift, n_probe=n_probe,
-                            n_keys=N)
+        rows = radix_lookup_dispatch(off, low, a, b, shift=shift,
+                                     n_probe=n_probe, off_bits=off_bits,
+                                     n_keys=N)
         return rows.sum() + lens.sum()
 
     timeit(f"tokenize + radix lookup ({n_probe} probes)", tok_lookup,
@@ -114,8 +117,9 @@ def main() -> None:
     def tok_lookup_gather(buf, off, low, plane):
         a, b, ok, lens = device_tokenize_codes(buf, k=k, sigma=sigma,
                                                Lmax=Lmax)
-        rows = radix_lookup(off, low, a, b, shift=shift, n_probe=n_probe,
-                            n_keys=N)
+        rows = radix_lookup_dispatch(off, low, a, b, shift=shift,
+                                     n_probe=n_probe, off_bits=off_bits,
+                                     n_keys=N)
         rows = jnp.where(ok, rows, jnp.int32(N))
         rows = jnp.pad(rows, ((0, 0), (0, Wp - W)), constant_values=N)
         Sp = dense_sums_shifted(plane, rows, R=R, B=p.B, Wmax=Wp)

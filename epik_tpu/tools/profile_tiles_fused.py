@@ -63,8 +63,8 @@ def main(argv=None) -> None:
     p = JaxPlacer(db, tree)
     assert p._tiles_mode and p._tile_packed
     staged = p._stage_bytes(seqs)
-    fn, arrays, _, _, _ = staged
-    tiles, direct, buf = arrays
+    fn, arrays = staged[0], staged[1]
+    tiles, direct, buf = arrays[:3]  # two-level may append tiles_ov
     N, B, k = db.num_kmers, p.B, p.k
     PT = p._tile_pt
     Lmax = 152

@@ -61,8 +61,8 @@ def main(argv=None) -> None:
         reads = reads_from_reference(ref, R, length=150, mutation_rate=0.02,
                                      seed=s)
         st = p._stage_bytes([q for _, q in reads])
-        bufs.append(st[1])  # (tiles, direct, buf)
-    tiles, direct, buf0 = bufs[0]
+        bufs.append(st[1])  # (tiles, direct, buf[, tiles_ov]) -- two-level
+    tiles, direct, buf0 = bufs[0][:3]
     fn = bufs and p._stage_bytes(
         [q for _, q in reads_from_reference(ref, R, length=150,
                                             mutation_rate=0.02, seed=11)]
