@@ -63,10 +63,13 @@ def epik():
               help="Number of branches to report.")
 @click.option("--keep-factor", type=float, default=0.01, show_default=True,
               help="Minimum LWR to report.")
-@click.option("--engine", type=click.Choice(["jax", "sharded", "reference"]),
+@click.option("--engine",
+              type=click.Choice(["jax", "sharded", "native", "reference"]),
               default="jax", show_default=True,
               help="Placement engine: single-device TPU/XLA pipeline, the "
-                   "multi-device sharded engine, or the scalar oracle.")
+                   "multi-device sharded engine, the native C++ CPU placer "
+                   "(-j threads, no JAX device needed), or the scalar "
+                   "oracle.")
 @click.option("--n-model", type=int, default=1, show_default=True,
               help="Model-axis shards for --engine sharded (database "
                    "hash-sharded when > 1); remaining devices go data-parallel.")
@@ -239,6 +242,16 @@ def place_queries(database, states, omega, mu, outputdir, threads, max_ram,
 
         placer = ReferencePlacer(db, tree, keep_at_most=keep_at_most, keep_factor=keep_factor)
         engine_name = "scalar (oracle)"
+    elif engine == "native":
+        # CPU-only deployments: the C++ scalar placer with the reference's
+        # -j/--threads OpenMP placement loop (place.cpp:218-229) as a full
+        # engine -- no JAX device required
+        from ..native import NativePlacer
+
+        placer = NativePlacer(db, tree, keep_at_most=keep_at_most,
+                              keep_factor=keep_factor,
+                              threads=max(1, threads))
+        engine_name = f"native C++ scalar (-j {max(1, threads)})"
     elif engine == "sharded":
         import jax
 

@@ -30,6 +30,7 @@ __all__ = [
     "native_format_jplace",
     "NativeFastaReader",
     "NativeScalarPlacer",
+    "NativePlacer",
 ]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -139,14 +140,14 @@ def _declare(lib) -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.eh_place_scalar_mt.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.eh_format_jplace.restype = ctypes.c_int64
     lib.eh_format_jplace.argtypes = [
@@ -328,8 +329,10 @@ class NativeScalarPlacer:
         )
 
     def place_scores(self, seqs: list[bytes]):
-        """Returns (edges, scores, counts, n_touched) arrays of shape
-        (n, K) / (n,). Uses the native tokenizer."""
+        """Returns (edges, scores, counts, n_touched, sum_placed) arrays
+        of shape (n, K) / (n,).  ``sum_placed`` is the double-precision
+        LWR numerator sum over ALL touched branches (reference:
+        place.cpp:164-184).  Uses the native tokenizer."""
         k = self.db.kmer_size
         t = native_tokenize_batch(seqs, k, self.alphabet)
         n = len(seqs)
@@ -339,13 +342,15 @@ class NativeScalarPlacer:
         scores = np.empty((n, self.K), np.float32)
         counts = np.empty((n, self.K), np.int64)
         n_touched = np.empty(n, np.int32)
+        sum_placed = np.empty(n, np.float64)
         if self.threads > 1:
             self._lib.eh_place_scalar_mt(
                 self._h, n, _np_ptr(np.ascontiguousarray(m)),
                 _np_ptr(t.exact_keys), _np_ptr(t.exact_read), t.exact_keys.shape[0],
                 _np_ptr(t.amb_keys), _np_ptr(t.amb_read), _np_ptr(t.amb_order),
                 t.amb_keys.shape[0], self.K, self.threads,
-                _np_ptr(edges), _np_ptr(scores), _np_ptr(counts), _np_ptr(n_touched),
+                _np_ptr(edges), _np_ptr(scores), _np_ptr(counts),
+                _np_ptr(n_touched), _np_ptr(sum_placed),
             )
         else:
             self._lib.eh_place_scalar(
@@ -353,9 +358,10 @@ class NativeScalarPlacer:
                 _np_ptr(t.exact_keys), _np_ptr(t.exact_read), t.exact_keys.shape[0],
                 _np_ptr(t.amb_keys), _np_ptr(t.amb_read), _np_ptr(t.amb_order),
                 t.amb_keys.shape[0], self.K,
-                _np_ptr(edges), _np_ptr(scores), _np_ptr(counts), _np_ptr(n_touched),
+                _np_ptr(edges), _np_ptr(scores), _np_ptr(counts),
+                _np_ptr(n_touched), _np_ptr(sum_placed),
             )
-        return edges, scores, counts, n_touched
+        return edges, scores, counts, n_touched, sum_placed
 
     def __del__(self):
         try:
@@ -363,6 +369,95 @@ class NativeScalarPlacer:
                 self._lib.eh_scalar_db_free(self._h)
         except Exception:
             pass
+
+
+class NativePlacer:
+    """Full CPU placement engine over the native scalar placer.
+
+    The reference's OpenMP run (-j N, epik/src/epik/place.cpp:218-229) as
+    a drop-in engine with the ``place(records) -> PlacedCollection``
+    surface: the C++ core scores + top-K selects + sums the LWR numerator
+    per read; this wrapper mirrors the oracle's LWR normalization, quirk-
+    Q2 fallback, and keep-factor filter (engine/reference.py::
+    ReferencePlacer.place, reference: place.cpp:134-199,230-268).  For
+    CPU-only deployments via ``epik place --engine native``."""
+
+    def __init__(self, db, tree, keep_at_most: int = 7,
+                 keep_factor: float = 0.01, threads: int = 1):
+        from .core.scoring import score_threshold
+        from .core.alphabet import get_alphabet
+
+        self.db = db
+        self.tree = tree
+        self.keep_at_most = keep_at_most
+        self.keep_factor = keep_factor
+        self._scalar = NativeScalarPlacer(db, keep_at_most=keep_at_most,
+                                          threads=threads)
+        self.B = self._scalar.B
+        alphabet = get_alphabet(db.sequence_type)
+        thr = np.float32(score_threshold(db.omega, db.kmer_size,
+                                         alphabet.sigma))
+        self._log_thr = np.float32(np.log10(thr))
+        num, tot = tree.tree_index()
+        self._distal = tree.branch_lengths / 2.0
+        mean = np.where(num > 1, tot / np.maximum(num, 1), 0.0)
+        self._pendant = mean + self._distal
+
+    def place(self, records):
+        from .engine.types import PlacedCollection, PlacedSequence, Placement
+
+        sequence_map: dict[bytes, list[str]] = {}
+        for header, seq in records:
+            sequence_map.setdefault(seq, []).append(header)
+        seqs = list(sequence_map)
+        if not seqs:
+            return PlacedCollection(sequence_map=sequence_map, placed_seqs=[])
+        edges, scores, counts, n_touched, sum_placed = (
+            self._scalar.place_scores(seqs)
+        )
+        k = self.db.kmer_size
+        f32 = np.float32
+        placed_seqs = []
+        for i, seq in enumerate(seqs):
+            m = (len(seq) - k + 1) % (1 << 64)
+            n = int(n_touched[i])
+            keep_factor = self.keep_factor
+            # sum over not-placed branches (place.cpp:164-184; f32 inner
+            # arithmetic, double pow -- identical op order to the oracle)
+            exponent = f32(f32(m) * self._log_thr / f32(k))
+            score_sum = float(f32(self.B) - f32(n)) * (10.0 ** float(exponent))
+            score_sum += float(sum_placed[i])
+            if n == 0:
+                # quirk Q2 fallback: keep_at_most fabricated placements
+                ts = float(self._log_thr * f32(m) / f32(k))
+                pl = [Placement(j, ts, 0.0, 0, 0.0, 0.0)
+                      for j in range(self.keep_at_most)]
+            else:
+                keep = min(n, self.keep_at_most)
+                pl = [
+                    Placement(
+                        branch_id=int(edges[i, j]),
+                        score=float(scores[i, j]),
+                        weight_ratio=0.0,
+                        count=int(counts[i, j]),
+                        distal_length=float(self._distal[edges[i, j]]),
+                        pendant_length=float(self._pendant[edges[i, j]]),
+                    )
+                    for j in range(keep)
+                ]
+            for p in pl:
+                if score_sum == 0:
+                    p.weight_ratio = 0.0
+                    keep_factor = 0.0  # quirk Q3
+                else:
+                    power = 10.0 ** float(f32(p.score))
+                    p.weight_ratio = 0.0 if power == 0.0 else power / score_sum
+            best = pl[0].weight_ratio if pl else 0.0
+            ratio_threshold = best * keep_factor
+            pl = [p for p in pl if p.weight_ratio >= ratio_threshold]
+            placed_seqs.append(PlacedSequence(sequence=seq, placements=pl))
+        return PlacedCollection(sequence_map=sequence_map,
+                                placed_seqs=placed_seqs)
 
 
 def native_ipk_records(data: bytes, start: int, n_kmers: int, size_width: int):

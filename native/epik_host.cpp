@@ -372,7 +372,8 @@ void place_scalar_range(const ScalarDB* db, long r0, long r1,
                         const uint64_t* amb_keys, const int32_t* amb_read,
                         int64_t n_amb, int64_t ei, int64_t ai, int K,
                         int32_t* out_edges, float* out_scores,
-                        int64_t* out_counts, int32_t* out_n) {
+                        int64_t* out_counts, int32_t* out_n,
+                        double* out_sum) {
     const int64_t B = db->n_branches;
     std::vector<float> S((size_t)B, 0.f), S_amb((size_t)B, 0.f);
     std::vector<int64_t> C((size_t)B, 0), C_amb((size_t)B, 0);
@@ -426,6 +427,12 @@ void place_scalar_range(const ScalarDB* db, long r0, long r1,
             S[e] += (float)diff * db->log_threshold;
             S[e] /= (float)db->k;
         }
+        // LWR numerator sum over ALL touched branches in touch order
+        // (reference: place.cpp:164-184 sum_placed; double pow like the
+        // oracle) -- the host adds the not-placed term and normalizes
+        double sum_placed = 0.0;
+        for (int32_t e : edges) sum_placed += std::pow(10.0, (double)S[e]);
+        out_sum[r] = sum_placed;
         // top-K by score (partial_sort desc, place.cpp:153-156)
         std::vector<int32_t> order(edges);
         const size_t keep = std::min((size_t)K, order.size());
@@ -459,12 +466,12 @@ EH_API void eh_place_scalar(void* dbh, long n_reads, const uint64_t* m_per_read,
                             const int32_t* amb_read, const int32_t* amb_order,
                             int64_t n_amb, int K, int32_t* out_edges,
                             float* out_scores, int64_t* out_counts,
-                            int32_t* out_n) {
+                            int32_t* out_n, double* out_sum) {
     (void)amb_order;  // stream is already in processing order per read
     place_scalar_range(static_cast<ScalarDB*>(dbh), 0, n_reads, m_per_read,
                        exact_keys, exact_read, n_exact, amb_keys, amb_read,
                        n_amb, 0, 0, K, out_edges, out_scores, out_counts,
-                       out_n);
+                       out_n, out_sum);
 }
 
 // OpenMP variant: reads are split into contiguous chunks, one per thread,
@@ -482,11 +489,11 @@ EH_API void eh_place_scalar_mt(void* dbh, long n_reads,
                                const int32_t* amb_order, int64_t n_amb,
                                int K, int n_threads, int32_t* out_edges,
                                float* out_scores, int64_t* out_counts,
-                               int32_t* out_n) {
+                               int32_t* out_n, double* out_sum) {
     if (n_threads <= 1 || n_reads < 2) {
         eh_place_scalar(dbh, n_reads, m_per_read, exact_keys, exact_read,
                         n_exact, amb_keys, amb_read, amb_order, n_amb, K,
-                        out_edges, out_scores, out_counts, out_n);
+                        out_edges, out_scores, out_counts, out_n, out_sum);
         return;
     }
     auto* db = static_cast<ScalarDB*>(dbh);
@@ -508,7 +515,7 @@ EH_API void eh_place_scalar_mt(void* dbh, long n_reads,
         place_scalar_range(db, r_lo[c], r_lo[c + 1], m_per_read, exact_keys,
                            exact_read, n_exact, amb_keys, amb_read, n_amb,
                            e_lo[c], a_lo[c], K, out_edges, out_scores,
-                           out_counts, out_n);
+                           out_counts, out_n, out_sum);
     }
 }
 

@@ -117,7 +117,7 @@ class TestNativeScalarPlacer:
         seqs += [b"T" * 25, b"ANGTCA" * 3, b"AC"]
         seqs += [s for _, s in random_reads(10, length=30, seed=19, ambig_rate=0.1)]
 
-        edges, scores, counts, n_touched = nat.place_scores(seqs)
+        edges, scores, counts, n_touched, sum_placed = nat.place_scores(seqs)
         for i, seq in enumerate(seqs):
             ps = oracle.place_seq(seq)
             expect = sorted(ps.placements, key=lambda p: -p.score)[:7]
@@ -145,6 +145,53 @@ class TestNativeScalarPlacer:
                                      threads=threads).place_scores(seqs)
             for a, b in zip(ref, got):
                 assert np.array_equal(a, b)
+
+
+class TestNativePlacerEngine:
+    """NativePlacer (round 5): the C++ placer as a full drop-in engine
+    with the place(records) -> PlacedCollection surface, vs the oracle --
+    incl. LWR, keep-factor filter, Q2 fallback, dedup."""
+
+    @pytest.mark.parametrize("threads", [1, 2])
+    def test_matches_oracle(self, threads):
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_jax_engine import assert_equivalent
+
+        from epik_tpu.native import NativePlacer
+
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=31)
+        tree = parse_newick(db.tree())
+        rng = np.random.default_rng(32)
+        recs = []
+        for i in range(30):
+            parts = [
+                DNA.decode_key(int(db.keys[rng.integers(db.num_kmers)]), 6)
+                for _ in range(rng.integers(1, 6))
+            ]
+            recs.append((f"q{i}", "".join(parts).encode()))
+        recs += [("nohit", b"T" * 25), ("amb", b"ANGTCA" * 3),
+                 ("short", b"AC"), ("dup", recs[0][1])]
+        recs += random_reads(10, length=30, seed=33, ambig_rate=0.1)
+        oracle = ReferencePlacer(db, tree)
+        native = NativePlacer(db, tree, threads=threads)
+        assert_equivalent(oracle.place(recs), native.place(recs))
+
+    def test_keep_factor_and_at_most(self):
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_jax_engine import assert_equivalent
+
+        from epik_tpu.native import NativePlacer
+
+        db = random_db(num_leaves=24, kmer_size=6, num_kmers=2048, seed=34)
+        tree = parse_newick(db.tree())
+        recs = random_reads(20, length=40, seed=35)
+        oracle = ReferencePlacer(db, tree, keep_at_most=3, keep_factor=0.5)
+        native = NativePlacer(db, tree, keep_at_most=3, keep_factor=0.5)
+        assert_equivalent(oracle.place(recs), native.place(recs))
 
 
 class TestNativePackReads:
