@@ -25,7 +25,9 @@ def main(argv=None):
     ap.add_argument("--leaves", type=int, default=10000)
     ap.add_argument("--ref-len", type=int, default=1_000_000)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=8192)
+    # 4096 measures ~25% faster than 8192 with the round-5 two-level
+    # engine (101.3k vs ~80k; benchmarks/bench_bigtree_r05*.json)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--inflight", type=int, default=6)
     ap.add_argument("--loops", type=int, default=4,
                     help="repeats of the read set per timed pass")
