@@ -163,8 +163,41 @@ def shard_tiles_columns(db: PhyloKmerDB, n_model: int, B: int,
 
     counts = np.zeros((n_model, n_keys), np.int64)
     np.add.at(counts, (shard, rows_pp), 1)
-    PT = -(-max(int(counts.max()), 1) // 8) * 8
+    max_cnt = max(int(counts.max()), 1)
+    PT = -(-max_cnt // 8) * 8
     packed = trash_branch(bwl) < (1 << 15)
+    # two-level split (round 5, the sharded analog of the single-chip
+    # build): per-shard posting counts have SMALLER means but similar
+    # maxes, so single-level padding is even worse here.  Main plane at
+    # the cost knee; overflow keys (ANY shard over PT_main) permuted to
+    # rows [0, n_ov) so the step's membership test stays arithmetic --
+    # the permutation is common to all shards via the shared direct
+    # table.  Packed payload only (the f32 fallback keeps single-level).
+    perm = np.arange(n_keys, dtype=np.int64)
+    PT_OV = 0
+    n_ov = 0
+    frac_over = 0.0
+    if packed and PT > 8 and n_keys:
+        key_max = counts.max(axis=0)
+        best, best_cost = PT, float(PT)
+        for cand in range(8, PT, 8):
+            fo = float((key_max > cand).mean())
+            ptov = -(-(max_cnt - cand) // 8) * 8
+            cost = cand + 2.0 * fo * ptov
+            if cost < best_cost - 0.5:
+                best, best_cost = cand, cost
+        if best < PT and bool((key_max > best).any()):
+            PT_main = best
+            PT_OV = -(-(max_cnt - PT_main) // 8) * 8
+            frac_over = float((key_max > PT_main).mean())
+            ov_keys = np.flatnonzero(key_max > PT_main)
+            n_ov = ov_keys.shape[0]
+            perm = np.empty(n_keys, np.int64)
+            perm[ov_keys] = np.arange(n_ov)
+            perm[np.flatnonzero(key_max <= PT_main)] = np.arange(
+                n_ov, n_keys
+            )
+            PT = PT_main
     if packed:
         span = max(float(-log_eps), 1e-6)
         scale = 64000.0 / span
@@ -179,6 +212,10 @@ def shard_tiles_columns(db: PhyloKmerDB, n_model: int, B: int,
         tiles = np.empty((n_model, n_keys + 1, 2 * PT), np.uint32)
         tiles[:, :, 0::2] = np.uint32(trash_branch(bwl))
         tiles[:, :, 1::2] = np.float32(0.0).view(np.uint32)
+    tiles_ov = None
+    if PT_OV:
+        tiles_ov = np.full((n_model, n_ov + 1, PT_OV),
+                           np.int32(trash_branch(bwl) << 16), np.int32)
     for m in range(n_model):
         mask = shard == m
         rows_m = rows_pp[mask]  # nondecreasing (rows_pp sorted)
@@ -187,11 +224,16 @@ def shard_tiles_columns(db: PhyloKmerDB, n_model: int, B: int,
         cols = np.arange(rows_m.size, dtype=np.int64) - np.repeat(starts, cm)
         local = br[mask] - m * bwl
         if packed:
-            tiles[m, rows_m, cols] = ((local << 16) | q[mask]).astype(np.int32)
+            vals = ((local << 16) | q[mask]).astype(np.int32)
+            main = cols < PT
+            tiles[m, perm[rows_m[main]], cols[main]] = vals[main]
+            if PT_OV:
+                ov = ~main
+                tiles_ov[m, perm[rows_m[ov]] + 1, cols[ov] - PT] = vals[ov]
         else:
             tiles[m, rows_m, 2 * cols] = local.astype(np.uint32)
             tiles[m, rows_m, 2 * cols + 1] = sbits[mask]
-    return tiles, bwl, PT, scale
+    return tiles, bwl, PT, scale, tiles_ov, PT_OV, n_ov, frac_over, perm
 
 
 @dataclasses.dataclass
@@ -482,14 +524,15 @@ def _sharded_dense_paired_step(
     jax.jit,
     static_argnames=(
         "mesh", "R", "B", "bwl", "K", "k", "Lmax", "num_kmers", "PT",
-        "log_eps", "eps", "tile_scale", "interpret",
+        "log_eps", "eps", "tile_scale", "PT_OV", "OV", "N_OV", "interpret",
     ),
 )
 def _sharded_tiles_bytes_step(
-    tiles_cols, direct, buf, *,
+    tiles_cols, direct, buf, tiles_ov=None, *,
     mesh, R: int, B: int, bwl: int, K: int, k: int, Lmax: int,
     num_kmers: int, PT: int, log_eps: float, eps: float,
     tile_scale: float = 0.0,
+    PT_OV: int = 0, OV: int = 0, N_OV: int = 0,
     interpret: bool = False,
 ):
     """Column-sharded posting-TILE step: the big-tree mode across chips.
@@ -505,7 +548,7 @@ def _sharded_tiles_bytes_step(
     layout; shard_tiles_columns).  Engine analog:
     engine/placer.py::_place_batch_tiles_bytes."""
 
-    def block(tiles, direct, buf):
+    def block(tiles, direct, buf, tiles_ov=None):
         from ..ops.pallas.accumulate import (
             segment_accumulate_packed,
             segment_accumulate_sums,
@@ -526,32 +569,61 @@ def _sharded_tiles_bytes_step(
         W = rows.shape[1]
         pp = W * PT
         ch = 512
-        pp_pad = -(-pp // ch) * ch
         trash = trash_branch(bwl)
         if tile_scale > 0.0:
             g = tiles[rows].reshape(R, pp)
-            g = jnp.pad(g, ((0, 0), (0, pp_pad - pp)),
+            cnt_ov = None
+            if PT_OV > 0:
+                # two-level tiles (round 5, shared design with the
+                # single-chip engine): overflow keys sit at rows
+                # [0, N_OV) via the direct-table permutation, overflow
+                # windows compact to a static OV budget by top_k, and
+                # the true per-read count rides an extra result column
+                # for the host's exactness-by-retry
+                ovr = jnp.where(rows < i32(N_OV), rows + 1, 0)
+                cnt_ov = jnp.sum((ovr > 0).astype(i32), axis=1)
+                tov = tiles_ov[0]
+                gov = tov[jax.lax.top_k(ovr, OV)[0]].reshape(R, OV * PT_OV)
+                g = jnp.concatenate([g, gov], axis=1)
+                pp2 = pp + OV * PT_OV
+            else:
+                pp2 = pp
+            pp_pad = -(-pp2 // ch) * ch
+            g = jnp.pad(g, ((0, 0), (0, pp_pad - pp2)),
                         constant_values=np.int32(trash << 16))
             Sq = segment_accumulate_packed(g, bwl, ch=ch, interpret=interpret)
             Sp = Sq / f32(tile_scale)
-        else:
-            g = tiles[rows].reshape(R, pp, 2)
-            b = g[..., 0].astype(i32)
-            s = jax.lax.bitcast_convert_type(g[..., 1], f32)
-            b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
-            s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
-            Sp = segment_accumulate_sums(b, s, bwl, ch=ch, interpret=interpret)
+            outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
+                                              log_eps=log_eps)
+            pack = _pack_outputs_slim(outs)
+            if cnt_ov is not None:
+                pack = jnp.concatenate(
+                    [pack, cnt_ov.astype(f32)[:, None]], axis=1
+                )
+            return pack[None]
+        pp_pad = -(-pp // ch) * ch
+        g = tiles[rows].reshape(R, pp, 2)
+        b = g[..., 0].astype(i32)
+        s = jax.lax.bitcast_convert_type(g[..., 1], f32)
+        b = jnp.pad(b, ((0, 0), (0, pp_pad - pp)), constant_values=trash)
+        s = jnp.pad(s, ((0, 0), (0, pp_pad - pp)))
+        Sp = segment_accumulate_sums(b, s, bwl, ch=ch, interpret=interpret)
         outs = finish_scores_cols_shifted(Sp, m_f32, B=B, K=K, k=k,
                                           log_eps=log_eps)
         return _pack_outputs_slim(outs)[None]
 
+    specs = (P(MODEL_AXIS), P(), P(DATA_AXIS))
+    args = (tiles_cols, direct, buf)
+    if PT_OV > 0:
+        specs = specs + (P(MODEL_AXIS),)
+        args = args + (tiles_ov,)
     return jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS), P(), P(DATA_AXIS)),
+        in_specs=specs,
         out_specs=P(DATA_AXIS),
         check_vma=False,
-    )(tiles_cols, direct, buf)
+    )(*args)
 
 
 @functools.partial(
@@ -804,8 +876,12 @@ class ShardedJaxPlacer(HostStaging):
         self._tiles_mode = False
         self._tile_scale = 0.0
         self._tile_pt = 0
+        self._tile_pt_ov = 0
+        self._tile_n_ov = 0
+        self._tile_frac_over = 0.0
         self._dev_direct = None
         self._dev_tiles = None
+        self._dev_tiles_ov = None
         if self._dense_db:
             planes, self._bwl = shard_db_columns(
                 db, self.n_model, self.B,
@@ -911,19 +987,27 @@ class ShardedJaxPlacer(HostStaging):
                 and db.num_kmers > 0
                 and 0 < max_plen <= 128
             ):
-                tiles, bwl_t, PT, t_scale = shard_tiles_columns(
+                (tiles, bwl_t, PT, t_scale, tiles_ov, PT_OV, n_ov,
+                 frac_over, perm) = shard_tiles_columns(
                     db, self.n_model, self.B, float(self.log_eps)
                 )
                 if tiles.nbytes // self.n_model <= cfg.dense_db_budget:
                     self._tiles_mode = True
                     self._tile_pt = PT
                     self._tile_scale = t_scale
+                    self._tile_pt_ov = PT_OV
+                    self._tile_n_ov = n_ov
+                    self._tile_frac_over = frac_over
                     self._bwl = bwl_t
                     self._dev_tiles = jax.device_put(tiles, spec_m)
-                    direct = np.full(4**self.k, db.num_kmers, dtype=np.int32)
-                    direct[db.keys.astype(np.int64)] = np.arange(
-                        db.num_kmers, dtype=np.int32
+                    self._dev_tiles_ov = (
+                        jax.device_put(tiles_ov, spec_m)
+                        if tiles_ov is not None else None
                     )
+                    # the two-level permutation (overflow keys -> rows
+                    # [0, n_ov)) rides in the shared direct table
+                    direct = np.full(4**self.k, db.num_kmers, dtype=np.int32)
+                    direct[db.keys.astype(np.int64)] = perm.astype(np.int32)
                     self._dev_direct = jax.device_put(
                         direct, NamedSharding(mesh, P())
                     )
@@ -990,6 +1074,29 @@ class ShardedJaxPlacer(HostStaging):
         lens_pad = np.zeros(R_tot, np.int64)
         lens_pad[:R_true] = lens_arr
         buf = pack_reads(codes, lens_pad)
+        if self._tile_pt_ov > 0:
+            W = Lmax - self.k + 1
+            OV = min(W, _bucket(
+                max(8, int(W * self._tile_frac_over * 2.0) + 4), 8))
+
+            def fn_ov(OV_, _W=W):
+                return functools.partial(
+                    _sharded_tiles_bytes_step,
+                    mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
+                    k=self.k, Lmax=Lmax, num_kmers=self.db.num_kmers,
+                    PT=self._tile_pt, tile_scale=float(self._tile_scale),
+                    PT_OV=self._tile_pt_ov, OV=min(OV_, _W),
+                    N_OV=self._tile_n_ov,
+                    log_eps=float(self.log_eps), eps=float(self.eps),
+                    interpret=self._interpret,
+                )
+
+            arrays = (self._dev_tiles, self._dev_direct, buf,
+                      self._dev_tiles_ov)
+            out = fn_ov(OV)(*arrays)
+            return _Pending(sequence_map, seqs, m_signed, out,
+                            ("tiles_ov", OV, fn_ov, arrays),
+                            (None, R_true, K))
         out = _sharded_tiles_bytes_step(
             self._dev_tiles, self._dev_direct, buf,
             mesh=self.mesh, R=R_loc, B=self.B, bwl=self._bwl, K=K,
@@ -1213,6 +1320,23 @@ class ShardedJaxPlacer(HostStaging):
         inputs, R_true, K = pending.redo
         R_loc = self._padded_batch_geometry(R_true)
 
+        if pending.budgets is not None and pending.budgets[0] == "tiles_ov":
+            # two-level sharded tiles: the last result column carries each
+            # read's true overflow-window count; a read above the static
+            # OV budget re-dispatches with a bigger budget (exactness by
+            # retry, shared design with the single-chip engine)
+            _, OV, fn_ov, arrays = pending.budgets
+            out = pending.out
+            while True:
+                arr = self._fetch(out)
+                ovmax = int(arr[:, :, -1].max()) if arr.size else 0
+                if ovmax <= OV:
+                    break
+                self.overflow_retries += 1
+                OV = _bucket(ovmax, 8)  # fn_ov clamps to the window count
+                out = fn_ov(OV)(*arrays)
+            flat = arr[:, :, :-1].reshape(self.n_data * R_loc, -1)[:R_true]
+            return self._assemble_flat(pending, flat, K)
         if pending.budgets is None:  # dense mode: no overflow retries
             # one transfer: (n_data, R_loc, 2K+3) slim (shifted paths) or
             # (n_data, R_loc+1, 4K+2) full incl. a totals row (classic)

@@ -324,6 +324,10 @@ class TestShardedPairPlane:
         assert sharded._tiles_mode, "fixture must activate sharded tiles"
         ref = ReferencePlacer(db, tree)
         assert_jplace_close(ref.place(reads_clean), sharded.place(reads_clean))
+        # the round-5 two-level split engages on this length distribution
+        # (overflow keys permuted to rows [0, n_ov) via the shared direct
+        # table; the extra result column drives the exactness retry)
+        assert sharded._tile_pt_ov > 0 and sharded._tile_n_ov > 0
         # ambiguous batch falls back to the hash-sharded CSR path
         amb_batch = reads[:6] + [("amb2", reads[0][1][:30] + b"N" + reads[0][1][31:])]
         assert_jplace_close(ref.place(amb_batch), sharded.place(amb_batch))
