@@ -8,4 +8,4 @@ scaling uses jax.sharding meshes (reads data-parallel, database hash-sharded
 with psum score merging).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
