@@ -155,11 +155,13 @@ def _decompress(data: bytes) -> bytes:
     return data
 
 
-def _scan_records_python(r: BinaryArchiveReader, n_kmers: int):
+def _scan_records_python(r: BinaryArchiveReader, n_kmers: int,
+                         head_pad: int = 0):
     """Pure-Python record walk (fallback when the native library is absent).
 
     ~1 us per k-mer; the native scanner (native/epik_host.cpp::eh_ipk_scan)
-    does the same walk at memcpy speed and is preferred."""
+    does the same walk at memcpy speed and is preferred.  ``head_pad``
+    bytes after each count are skipped (the item-version layouts)."""
     keys = np.empty(n_kmers, np.uint64)
     lens = np.empty(n_kmers, np.int64)
     branch_parts = []
@@ -168,6 +170,8 @@ def _scan_records_python(r: BinaryArchiveReader, n_kmers: int):
     for i in range(n_kmers):
         keys[i] = r.u64()
         cnt = r.size_t()
+        if head_pad:
+            r.pos += head_pad
         if cnt > 1 << 32:
             raise UnverifiedFormatError(
                 f"implausible posting count {cnt} for k-mer {i} at offset {r.pos}"
@@ -181,12 +185,13 @@ def _scan_records_python(r: BinaryArchiveReader, n_kmers: int):
     return keys, lens, branches, scores
 
 
-def _scan_records(r: BinaryArchiveReader, n_kmers: int):
+def _scan_records(r: BinaryArchiveReader, n_kmers: int, head_pad: int = 0):
     """Native-accelerated walk of the k-mer record section."""
     try:
         from ..native import native_ipk_records
 
-        out = native_ipk_records(r.data, r.pos, n_kmers, r.size_width)
+        out = native_ipk_records(r.data, r.pos, n_kmers, r.size_width,
+                                 head_pad)
     except ValueError as e:
         raise UnverifiedFormatError(
             f"k-mer record walk failed at offset {e.args[0]} "
@@ -195,14 +200,21 @@ def _scan_records(r: BinaryArchiveReader, n_kmers: int):
     except Exception:
         out = None  # native build unavailable; fall back
     if out is None:
-        return _scan_records_python(r, n_kmers)
+        return _scan_records_python(r, n_kmers, head_pad)
     keys, lens, branches, scores, end = out
     r.pos = end
     return keys, lens, branches, scores
 
 
-def _parse_raw(data: bytes):
+def _parse_raw(data: bytes, layout: str = "flat"):
     """Parse a decompressed archive into file-order flat arrays.
+
+    ``layout`` selects the container-serialization hypothesis (see
+    :func:`_trace_fields`): "flat" (bare counts, the primary
+    reconstruction), "vecver" (a u32 item_version after every collection
+    count -- Boost save_collection at library_version > 3), "umap" (the
+    unordered_map convention: a size_t bucket_count after the k-mer map's
+    element count, plus the item_version words).
 
     [inference] Payload layout reconstructed from EPIK call sites; every
     field below is a hypothesis to verify against a real file:
@@ -225,6 +237,15 @@ def _parse_raw(data: bytes):
     r = BinaryArchiveReader(data)
     r.header()
 
+    def item_version(section):
+        if layout == "flat":
+            return
+        iv = r.u32()
+        if iv > 255:
+            raise UnverifiedFormatError(
+                f"implausible {section} item_version {iv}"
+            )
+
     version = r.u32()
     if version < EARLIEST_INDEX:
         raise UnverifiedFormatError(
@@ -243,16 +264,32 @@ def _parse_raw(data: bytes):
     n_nodes = r.size_t()
     if n_nodes > 100_000_000:
         raise UnverifiedFormatError(f"implausible tree_index size {n_nodes}")
+    item_version("tree_index")
     # stored but recomputable from the tree; kept for parity checks
     _ti = r.array(np.dtype([("num", "<u8"), ("len", "<f8")]), n_nodes)
 
     kmer_size = r.u64()
+    # plausibility gates keep a cross-layout mis-parse (a 4-byte
+    # item-version shift read as payload) from silently succeeding
+    if not (1 <= kmer_size <= 64):
+        raise UnverifiedFormatError(f"implausible kmer_size {kmer_size}")
     omega = r.f32()
+    if not (0.0 < omega < 100.0) or omega != omega:
+        raise UnverifiedFormatError(f"implausible omega {omega}")
     n_kmers = r.size_t()
     if n_kmers > 1 << 40:
         raise UnverifiedFormatError(f"implausible k-mer count {n_kmers}")
+    if layout == "umap":
+        bc = r.size_t()
+        if not (n_kmers // 16 <= bc <= max(16, n_kmers) * 64):
+            raise UnverifiedFormatError(
+                f"implausible bucket_count {bc} for {n_kmers} k-mers"
+            )
+    item_version("k-mer map")
 
-    keys, lens, branches, scores = _scan_records(r, n_kmers)
+    keys, lens, branches, scores = _scan_records(
+        r, n_kmers, head_pad=0 if layout == "flat" else 4
+    )
     return version, seq_type, tree, kmer_size, omega, keys, lens, branches, scores
 
 
@@ -277,8 +314,19 @@ def load_ipk(
     with open(path, "rb") as f:
         data = f.read()
     data = _decompress(data)
-    (version, seq_type, tree, kmer_size, omega,
-     keys, lens, branches, scores) = _parse_raw(data)
+    # container-layout hypotheses in likelihood order (probe_ipk's grid);
+    # the flat reconstruction's error is re-raised when none parses
+    first_err = None
+    for layout in ("flat", "vecver", "umap"):
+        try:
+            (version, seq_type, tree, kmer_size, omega,
+             keys, lens, branches, scores) = _parse_raw(data, layout)
+            break
+        except UnverifiedFormatError as e:
+            if first_err is None:
+                first_err = e
+    else:
+        raise first_err
     from .db import build_filtered
 
     return build_filtered(

@@ -160,12 +160,12 @@ def _declare(lib) -> None:
     lib.eh_ipk_scan.restype = ctypes.c_int64
     lib.eh_ipk_scan.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.eh_ipk_extract.restype = ctypes.c_int64
     lib.eh_ipk_extract.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.eh_pack_reads.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
@@ -460,11 +460,14 @@ class NativePlacer:
                                 placed_seqs=placed_seqs)
 
 
-def native_ipk_records(data: bytes, start: int, n_kmers: int, size_width: int):
+def native_ipk_records(data: bytes, start: int, n_kmers: int,
+                       size_width: int, head_pad: int = 0):
     """Scan + extract the .ipk k-mer record section at C speed.
 
-    Walks ``n_kmers`` records of ``[u64 key | size_t count | count x
-    (u32 branch, f32 score)]`` from byte ``start``.  Returns
+    Walks ``n_kmers`` records of ``[u64 key | size_t count | head_pad
+    skipped bytes | count x (u32 branch, f32 score)]`` from byte
+    ``start`` (head_pad = 4 under the item-version layout hypotheses).
+    Returns
     ``(keys, lens, branches, scores, end_offset)``; raises ValueError with
     the failing byte offset on truncation or an implausible count (the
     .ipk reader converts that to its UnverifiedFormatError).  Returns None
@@ -477,7 +480,7 @@ def native_ipk_records(data: bytes, start: int, n_kmers: int, size_width: int):
     keys = np.empty(n_kmers, np.uint64)
     lens = np.empty(n_kmers, np.int64)
     end = lib.eh_ipk_scan(
-        _np_ptr(buf), buf.shape[0], start, n_kmers, size_width,
+        _np_ptr(buf), buf.shape[0], start, n_kmers, size_width, head_pad,
         _np_ptr(keys), _np_ptr(lens),
     )
     if end < 0:
@@ -486,7 +489,7 @@ def native_ipk_records(data: bytes, start: int, n_kmers: int, size_width: int):
     branches = np.empty(total, np.uint32)
     scores = np.empty(total, np.float32)
     end2 = lib.eh_ipk_extract(
-        _np_ptr(buf), buf.shape[0], start, n_kmers, size_width,
+        _np_ptr(buf), buf.shape[0], start, n_kmers, size_width, head_pad,
         _np_ptr(branches), _np_ptr(scores),
     )
     if end2 < 0:

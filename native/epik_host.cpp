@@ -673,11 +673,14 @@ EH_API int64_t eh_format_jplace(long R, int K, const int32_t* ids,
 // Pass 1: walk n records starting at byte `start`; fill keys[n] and lens[n].
 // Returns the end offset on success, or -(pos + 1) on truncation /
 // implausible count at byte pos.  sw = sizeof(size_t) in the writing build
-// (8 on 64-bit, 4 on 32-bit archives).
+// (8 on 64-bit, 4 on 32-bit archives); head_pad = extra bytes between the
+// count and the payload (the Boost collection item_version word under the
+// vecver/umap layout hypotheses -- io/ipk_boost.py::_trace_fields).
 EH_API int64_t eh_ipk_scan(const uint8_t* data, int64_t len, int64_t start,
-                           int64_t n, int sw, uint64_t* keys, int64_t* lens) {
+                           int64_t n, int sw, int head_pad, uint64_t* keys,
+                           int64_t* lens) {
     int64_t pos = start;
-    const int64_t head = 8 + sw;
+    const int64_t head = 8 + sw + head_pad;
     for (int64_t i = 0; i < n; ++i) {
         if (pos + head > len) return -(pos + 1);
         uint64_t key, cnt = 0;
@@ -697,10 +700,10 @@ EH_API int64_t eh_ipk_scan(const uint8_t* data, int64_t len, int64_t start,
 // scores[] (total sizes known from pass 1).  Returns the end offset, or
 // -(pos + 1) on truncation.
 EH_API int64_t eh_ipk_extract(const uint8_t* data, int64_t len, int64_t start,
-                              int64_t n, int sw, uint32_t* branches,
-                              float* scores) {
+                              int64_t n, int sw, int head_pad,
+                              uint32_t* branches, float* scores) {
     int64_t pos = start;
-    const int64_t head = 8 + sw;
+    const int64_t head = 8 + sw + head_pad;
     int64_t out = 0;
     for (int64_t i = 0; i < n; ++i) {
         if (pos + head > len) return -(pos + 1);

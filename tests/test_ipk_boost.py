@@ -360,6 +360,18 @@ class TestHandAuthoredFixtures:
             + self._payload_layout(size_fmt, layout)
         )
 
+    @pytest.mark.parametrize("layout", ["vecver", "umap"])
+    @pytest.mark.parametrize("size_fmt", ["<Q", "<I"])
+    def test_loads_alternative_layouts(self, tmp_path, layout, size_fmt):
+        """read_ipk must LOAD (not just identify) the item-version and
+        unordered-map container layouts -- the round-5 try-chain walks
+        the hypothesis grid until one parses cleanly."""
+        from epik_tpu.io.ipk_boost import read_ipk
+
+        p = tmp_path / f"{layout}.ipk"
+        p.write_bytes(self._archive_layout(size_fmt, layout))
+        self._check_db(read_ipk(str(p)))
+
     def test_probe_identifies_vecver_layout(self, tmp_path):
         """A file written with per-collection item_version words must be
         IDENTIFIED by the probe's variant grid (round-5 verdict ask #8:
